@@ -1,0 +1,488 @@
+"""Logical (raw-table) query builders + their DuckDB oracle SQL.
+
+Every public query here exists twice, derived from the same frozen spec:
+
+* a Spark DataFrame builder ``(spark, sf_dir) -> DataFrame`` — declarative
+  plans (joins/aggregations/window/limit) that Catalyst optimizes; and
+* an ANSI-SQL string for DuckDB over the same parquet tables — the driver's
+  independent correctness oracle.
+
+These builders score straight off the transcripts relation (tokenize →
+tf/df/corpus-stats → BM25 → function-score), i.e. they are the *semantic
+definition* of the engine. The physical segment engine
+(:mod:`planet_search_spark.indexing` + :mod:`planet_search_spark.queries.engine`)
+must produce identical results; pytest asserts that equivalence.
+
+Reference semantics mapped here (SURVEY.md §2B):
+  B9  match-OR BM25            -> bm25_or
+  B10 match operator=and       -> bm25_and
+  B11/B12 phrase on keyword    -> phrase_match / exact tiers
+  B13 match_phrase_prefix      -> phrase_prefix + prefix_search (dict expansion,
+                                  max_expansions=200, points_search.json:47)
+  B14 fuzzy AUTO               -> fuzzy_search
+  B15 dis_max                  -> dismax_search
+  B16 bool.should min 1        -> all scorers return only matched docs
+  B17 bool.filter              -> filtered_search (role/tool semi-filter)
+  B18 constant_score tiers     -> exact_tiers (12/6/1, bbox_container.json:9-55)
+  B19-B24 function_score sum   -> function_score_search
+  B25 top-k                    -> bm25_topk
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import analysis as A
+from .. import scoring as S
+from ..transcripts import TRANSCRIPTS_CTE, transcripts_from_documents
+
+# Fixed epoch used as "now" by recency-scored queries (deterministic).
+NOW_EPOCH = 1_768_435_200.0  # 2026-01-15T00:00:00Z
+
+
+# ---------------------------------------------------------------------------
+# Shared engine-side builders
+# ---------------------------------------------------------------------------
+
+def tokenized_docs(tx: DataFrame) -> DataFrame:
+    """transcripts -> analyzed docs (toks, kw, dl); drops empty docs."""
+    return (
+        tx.withColumn("toks", A.tokens_col(F.col("text")))
+          .withColumn("kw", F.array_join("toks", " "))
+          .where(F.size("toks") > 0)
+          .withColumn("dl", F.size("toks").cast("double"))
+    )
+
+
+def term_freqs(docs: DataFrame) -> DataFrame:
+    """(conv_id, turn_idx, dl, term, tf) — the in-doc term frequency table."""
+    return (
+        docs.select("conv_id", "turn_idx", "dl",
+                    F.explode("toks").alias("term"))
+            .groupBy("conv_id", "turn_idx", "dl", "term")
+            .agg(F.count("*").cast("double").alias("tf"))
+    )
+
+
+def doc_freqs(tf: DataFrame) -> DataFrame:
+    return tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+
+
+def corpus_stats(docs: DataFrame) -> DataFrame:
+    return docs.agg(F.count("*").cast("double").alias("n"),
+                    F.avg("dl").alias("avgdl"))
+
+
+def _bm25_scores(tx: DataFrame, terms: list[str],
+                 require_all: bool = False) -> DataFrame:
+    """Per-doc summed BM25 over ``terms`` (OR; AND if require_all)."""
+    docs = tokenized_docs(tx)
+    tf = term_freqs(docs)
+    qtf = tf.where(F.col("term").isin(terms))
+    dfreq = doc_freqs(tf).where(F.col("term").isin(terms))
+    stats = corpus_stats(docs)
+    scored = (
+        qtf.join(F.broadcast(dfreq), "term")
+           .crossJoin(F.broadcast(stats))
+           .withColumn("s", S.bm25_term_score(
+               F.col("tf"), F.col("df"), F.col("dl"),
+               F.col("n"), F.col("avgdl")))
+           .groupBy("conv_id", "turn_idx")
+           .agg(F.sum("s").alias("score"),
+                F.count("*").alias("nmatch"))
+    )
+    if require_all:
+        scored = scored.where(F.col("nmatch") == len(set(terms)))
+    return scored
+
+
+_SQL_BASE = f"""
+WITH {TRANSCRIPTS_CTE.strip()},
+docs AS (
+  SELECT conv_id, turn_idx, role, tool, ts, text,
+         {A.sql_tokens_expr('text')} AS toks,
+         {A.sql_keyword_expr('text')} AS kw
+  FROM transcripts
+),
+docs_n AS (
+  SELECT *, CAST(len(toks) AS DOUBLE) AS dl FROM docs WHERE len(toks) > 0
+),
+corpus AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM docs_n
+),
+tf AS (
+  SELECT conv_id, turn_idx, dl, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT conv_id, turn_idx, dl, unnest(toks) AS term FROM docs_n)
+  GROUP BY conv_id, turn_idx, dl, term
+),
+dfreq AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+)
+"""
+
+
+def _sql_terms_values(terms: list[str]) -> str:
+    vals = ", ".join(f"('{t}')" for t in terms)
+    return f"(SELECT * FROM (VALUES {vals}) AS q(term))"
+
+
+def _sql_bm25_scores(terms: list[str], require_all: bool) -> str:
+    s_expr = S.SQL_BM25_TERM.format(tf="tf.tf", df="dfreq.df",
+                                    dl="tf.dl", n="corpus.n",
+                                    avgdl="corpus.avgdl")
+    having = f"HAVING count(*) = {len(set(terms))}" if require_all else ""
+    return f"""{_SQL_BASE},
+scores AS (
+  SELECT tf.conv_id, tf.turn_idx,
+         sum({s_expr}) AS score,
+         count(*) AS nmatch
+  FROM tf
+  JOIN {_sql_terms_values(terms)} q ON tf.term = q.term
+  JOIN dfreq ON dfreq.term = tf.term
+  CROSS JOIN corpus
+  GROUP BY tf.conv_id, tf.turn_idx
+  {having}
+)"""
+
+
+# ---------------------------------------------------------------------------
+# Query registry: name -> (spark_fn, oracle_sql | None)
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, tuple] = {}
+
+
+def _register(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = (fn, sql)
+        return fn
+    return deco
+
+
+# -- 0. the deterministic documents -> transcripts mapping itself -----------
+
+@_register("transcripts_view", f"""
+WITH {TRANSCRIPTS_CTE.strip()}
+SELECT conv_id, turn_idx, role, text, tool,
+       CAST(epoch(ts) AS BIGINT) AS ts_epoch
+FROM transcripts
+""")
+def q_transcripts_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tx = transcripts_from_documents(spark, sf_dir)
+    return tx.select("conv_id", "turn_idx", "role", "text", "tool",
+                     F.unix_timestamp("ts").alias("ts_epoch"))
+
+
+# -- 1. analyzer surface: global term dictionary (df, cf) -------------------
+
+@_register("term_dictionary", f"""{_SQL_BASE}
+SELECT term,
+       CAST(count(*) AS BIGINT) AS doc_freq,
+       CAST(sum(tf) AS BIGINT) AS coll_freq
+FROM tf GROUP BY term
+""")
+def q_term_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tx = transcripts_from_documents(spark, sf_dir)
+    tf = term_freqs(tokenized_docs(tx))
+    return tf.groupBy("term").agg(
+        F.count("*").cast("long").alias("doc_freq"),
+        F.sum("tf").cast("long").alias("coll_freq"))
+
+
+# -- 2. per-doc stats (dl + normalized keyword hash) -------------------------
+
+@_register("doc_stats", f"""{_SQL_BASE}
+SELECT conv_id, turn_idx, CAST(dl AS BIGINT) AS doc_len, md5(kw) AS kw_hash
+FROM docs_n
+""")
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tokenized_docs(transcripts_from_documents(spark, sf_dir))
+    return docs.select("conv_id", "turn_idx",
+                       F.col("dl").cast("long").alias("doc_len"),
+                       F.md5("kw").alias("kw_hash"))
+
+
+# -- 3. corpus stats ----------------------------------------------------------
+
+@_register("corpus_stats", f"""{_SQL_BASE}
+SELECT CAST(n AS BIGINT) AS n_docs,
+       {S.SQL_QUANTIZE.format(x='avgdl')} AS avgdl_q
+FROM corpus
+""")
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tokenized_docs(transcripts_from_documents(spark, sf_dir))
+    return corpus_stats(docs).select(
+        F.col("n").cast("long").alias("n_docs"),
+        S.quantize(F.col("avgdl")).alias("avgdl_q"))
+
+
+# -- 4/5/6. BM25 OR / AND / top-k (B9, B10, B25) -----------------------------
+
+Q_TERMS = ["spark", "merge", "window"]
+Q_TERMS_AND = ["spark", "merge"]
+
+
+def _bm25_out(scored: DataFrame) -> DataFrame:
+    return scored.select("conv_id", "turn_idx",
+                         F.col("nmatch").cast("long").alias("nmatch"),
+                         S.quantize(F.col("score")).alias("score_q"))
+
+
+@_register("bm25_or", _sql_bm25_scores(Q_TERMS, False) + f"""
+SELECT conv_id, turn_idx, CAST(nmatch AS BIGINT) AS nmatch,
+       {S.SQL_QUANTIZE.format(x='score')} AS score_q
+FROM scores
+""")
+def q_bm25_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tx = transcripts_from_documents(spark, sf_dir)
+    return _bm25_out(_bm25_scores(tx, Q_TERMS))
+
+
+@_register("bm25_and", _sql_bm25_scores(Q_TERMS_AND, True) + f"""
+SELECT conv_id, turn_idx, CAST(nmatch AS BIGINT) AS nmatch,
+       {S.SQL_QUANTIZE.format(x='score')} AS score_q
+FROM scores
+""")
+def q_bm25_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tx = transcripts_from_documents(spark, sf_dir)
+    return _bm25_out(_bm25_scores(tx, Q_TERMS_AND, require_all=True))
+
+
+@_register("bm25_topk", _sql_bm25_scores(Q_TERMS, False) + f"""
+SELECT CAST(row_number() OVER (
+         ORDER BY {S.SQL_QUANTIZE.format(x='score')} DESC, conv_id, turn_idx
+       ) AS INT) AS rank,
+       conv_id, turn_idx,
+       {S.SQL_QUANTIZE.format(x='score')} AS score_q
+FROM scores
+ORDER BY score_q DESC, conv_id, turn_idx
+LIMIT 20
+""")
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    tx = transcripts_from_documents(spark, sf_dir)
+    top = (_bm25_scores(tx, Q_TERMS)
+           .select("conv_id", "turn_idx", S.quantize(F.col("score")).alias("score_q"))
+           .orderBy(F.desc("score_q"), "conv_id", "turn_idx")
+           .limit(20))
+    w = Window.orderBy(F.desc("score_q"), "conv_id", "turn_idx")
+    return top.withColumn("rank", F.row_number().over(w)) \
+              .select("rank", "conv_id", "turn_idx", "score_q")
+
+
+# -- 7. phrase match on normalized keyword (B11/B12) -------------------------
+
+PHRASE = "stream table hash"
+
+
+@_register("phrase_match", f"""{_SQL_BASE}
+SELECT conv_id, turn_idx
+FROM docs_n
+WHERE contains(' ' || kw || ' ', ' {PHRASE} ')
+""")
+def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tokenized_docs(transcripts_from_documents(spark, sf_dir))
+    pad = F.concat(F.lit(" "), F.col("kw"), F.lit(" "))
+    return docs.where(pad.contains(f" {PHRASE} ")) \
+               .select("conv_id", "turn_idx")
+
+
+# -- 8. phrase-prefix (B13: last term matches by prefix) ----------------------
+
+PHRASE_PREFIX = "merge slo"   # matches "... merge slow ..."
+
+
+@_register("phrase_prefix", f"""{_SQL_BASE}
+SELECT conv_id, turn_idx
+FROM docs_n
+WHERE contains(' ' || kw || ' ', ' {PHRASE_PREFIX}')
+""")
+def q_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tokenized_docs(transcripts_from_documents(spark, sf_dir))
+    pad = F.concat(F.lit(" "), F.col("kw"), F.lit(" "))
+    return docs.where(pad.contains(f" {PHRASE_PREFIX}")) \
+               .select("conv_id", "turn_idx")
+
+
+# -- 9. prefix term expansion (autocomplete branch, max_expansions=200) -------
+
+PREFIX = "wi"
+
+
+@_register("prefix_search", f"""{_SQL_BASE},
+expanded AS (
+  SELECT term, df FROM dfreq WHERE term LIKE '{PREFIX}%'
+  ORDER BY term LIMIT 200
+),
+matched AS (
+  SELECT tf.conv_id, tf.turn_idx,
+         max({S.SQL_BM25_TERM.format(tf='tf.tf', df='expanded.df',
+                                     dl='tf.dl', n='corpus.n',
+                                     avgdl='corpus.avgdl')}) AS score
+  FROM tf JOIN expanded ON tf.term = expanded.term CROSS JOIN corpus
+  GROUP BY tf.conv_id, tf.turn_idx
+)
+SELECT conv_id, turn_idx, {S.SQL_QUANTIZE.format(x='score')} AS score_q
+FROM matched
+""")
+def q_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tx = transcripts_from_documents(spark, sf_dir)
+    docs = tokenized_docs(tx)
+    tf = term_freqs(docs)
+    expanded = (doc_freqs(tf).where(F.col("term").startswith(PREFIX))
+                .orderBy("term").limit(200))
+    stats = corpus_stats(docs)
+    return (tf.join(F.broadcast(expanded), "term")
+              .crossJoin(F.broadcast(stats))
+              .withColumn("s", S.bm25_term_score(
+                  F.col("tf"), F.col("df"), F.col("dl"),
+                  F.col("n"), F.col("avgdl")))
+              .groupBy("conv_id", "turn_idx")
+              .agg(F.max("s").alias("score"))
+              .select("conv_id", "turn_idx",
+                      S.quantize(F.col("score")).alias("score_q")))
+
+
+# -- 10. fuzzy AUTO (B14) -----------------------------------------------------
+
+FUZZY_TERM = "spak"  # 1 edit from "spark"
+
+
+def _auto_fuzz(term: str) -> int:
+    n = len(term)
+    return 0 if n <= 2 else (1 if n <= 5 else 2)
+
+
+@_register("fuzzy_search", f"""{_SQL_BASE},
+expanded AS (
+  SELECT term, df FROM dfreq
+  WHERE levenshtein(term, '{FUZZY_TERM}') <= {_auto_fuzz(FUZZY_TERM)}
+),
+matched AS (
+  SELECT tf.conv_id, tf.turn_idx,
+         max({S.SQL_BM25_TERM.format(tf='tf.tf', df='expanded.df',
+                                     dl='tf.dl', n='corpus.n',
+                                     avgdl='corpus.avgdl')}) AS score
+  FROM tf JOIN expanded ON tf.term = expanded.term CROSS JOIN corpus
+  GROUP BY tf.conv_id, tf.turn_idx
+)
+SELECT conv_id, turn_idx, {S.SQL_QUANTIZE.format(x='score')} AS score_q
+FROM matched
+""")
+def q_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tx = transcripts_from_documents(spark, sf_dir)
+    docs = tokenized_docs(tx)
+    tf = term_freqs(docs)
+    expanded = doc_freqs(tf).where(
+        F.levenshtein(F.col("term"), F.lit(FUZZY_TERM)) <= _auto_fuzz(FUZZY_TERM))
+    stats = corpus_stats(docs)
+    return (tf.join(F.broadcast(expanded), "term")
+              .crossJoin(F.broadcast(stats))
+              .withColumn("s", S.bm25_term_score(
+                  F.col("tf"), F.col("df"), F.col("dl"),
+                  F.col("n"), F.col("avgdl")))
+              .groupBy("conv_id", "turn_idx")
+              .agg(F.max("s").alias("score"))
+              .select("conv_id", "turn_idx",
+                      S.quantize(F.col("score")).alias("score_q")))
+
+
+# -- 11. constant-score tiers (B18; 12/6/1 per bbox_container.json:9-55) ------
+
+TIER_PHRASE = "window window"
+
+
+@_register("exact_tiers", f"""{_SQL_BASE},
+tiers AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN kw = '{TIER_PHRASE}' THEN 12.0
+              WHEN contains(' ' || kw || ' ', ' {TIER_PHRASE} ') THEN 6.0
+              WHEN contains(' ' || kw || ' ', ' window ') THEN 1.0
+              ELSE 0.0 END AS tier
+  FROM docs_n
+)
+SELECT conv_id, turn_idx, {S.SQL_QUANTIZE.format(x='tier')} AS tier_q
+FROM tiers WHERE tier > 0.0
+""")
+def q_exact_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tokenized_docs(transcripts_from_documents(spark, sf_dir))
+    pad = F.concat(F.lit(" "), F.col("kw"), F.lit(" "))
+    tier = (F.when(F.col("kw") == TIER_PHRASE, F.lit(12.0))
+             .when(pad.contains(f" {TIER_PHRASE} "), F.lit(6.0))
+             .when(pad.contains(" window "), F.lit(1.0))
+             .otherwise(F.lit(0.0)))
+    return (docs.withColumn("tier", tier).where(F.col("tier") > 0.0)
+                .select("conv_id", "turn_idx",
+                        S.quantize(F.col("tier")).alias("tier_q")))
+
+
+# -- 12. dis_max over fields (B15) --------------------------------------------
+
+@_register("dismax_search", _sql_bm25_scores(Q_TERMS, False) + f"""
+SELECT d.conv_id, d.turn_idx,
+       {S.SQL_QUANTIZE.format(
+           x="greatest(coalesce(" + S.SQL_SATURATION.format(s='s.score') + ", 0.0),"
+             " CASE WHEN d.tool = 'search' THEN 2.0 ELSE 0.0 END)")} AS score_q
+FROM docs_n d
+LEFT JOIN scores s ON s.conv_id = d.conv_id AND s.turn_idx = d.turn_idx
+WHERE s.conv_id IS NOT NULL OR d.tool = 'search'
+""")
+def q_dismax_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tx = transcripts_from_documents(spark, sf_dir)
+    docs = tokenized_docs(tx)
+    scored = _bm25_scores(tx, Q_TERMS).withColumnRenamed("score", "bm25")
+    joined = docs.join(scored, ["conv_id", "turn_idx"], "left")
+    text_s = F.coalesce(S.saturation(F.col("bm25")), F.lit(0.0))
+    tool_s = F.when(F.col("tool") == "search", F.lit(2.0)).otherwise(F.lit(0.0))
+    return (joined.where(F.col("bm25").isNotNull() | (F.col("tool") == "search"))
+                  .select("conv_id", "turn_idx",
+                          S.quantize(F.greatest(text_s, tool_s)).alias("score_q")))
+
+
+# -- 13. non-scoring filter (B17) ---------------------------------------------
+
+@_register("filtered_search", _sql_bm25_scores(Q_TERMS, False) + f"""
+SELECT s.conv_id, s.turn_idx, {S.SQL_QUANTIZE.format(x='s.score')} AS score_q
+FROM scores s
+JOIN docs_n d ON d.conv_id = s.conv_id AND d.turn_idx = s.turn_idx
+WHERE d.role = 'assistant' AND d.tool = 'code'
+""")
+def q_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tx = transcripts_from_documents(spark, sf_dir)
+    docs = tokenized_docs(tx).where(
+        (F.col("role") == "assistant") & (F.col("tool") == "code"))
+    scored = _bm25_scores(tx, Q_TERMS)
+    return (scored.join(docs.select("conv_id", "turn_idx"),
+                        ["conv_id", "turn_idx"])
+                  .select("conv_id", "turn_idx",
+                          S.quantize(F.col("score")).alias("score_q")))
+
+
+# -- 14. full function_score composition (B19-B24) ----------------------------
+
+@_register("function_score_search", _sql_bm25_scores(Q_TERMS, False) + f"""
+, finals AS (
+  SELECT d.conv_id, d.turn_idx,
+         ({S.SQL_SATURATION.format(s='s.score')})
+         + 0.3 * ({S.SQL_STATIC_PRIOR.format(role='d.role', dl='d.dl', tool='d.tool')})
+         + (CASE WHEN d.kw = 'spark merge window' THEN 0.8 ELSE 0.0 END)
+         + ({S.SQL_RECENCY.format(now=repr(NOW_EPOCH), ts='d.ts')}) AS final
+  FROM scores s
+  JOIN docs_n d ON d.conv_id = s.conv_id AND d.turn_idx = s.turn_idx
+)
+SELECT conv_id, turn_idx, {S.SQL_QUANTIZE.format(x='final')} AS score_q
+FROM finals
+""")
+def q_function_score_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tx = transcripts_from_documents(spark, sf_dir)
+    docs = tokenized_docs(tx)
+    scored = _bm25_scores(tx, Q_TERMS).withColumnRenamed("score", "bm25")
+    joined = scored.join(docs, ["conv_id", "turn_idx"])
+    final = (
+        S.saturation(F.col("bm25"))
+        + F.lit(S.W_PRIOR) * S.static_prior(F.col("role"), F.col("dl"), F.col("tool"))
+        + F.when(F.col("kw") == "spark merge window", F.lit(S.W_EXACT)).otherwise(F.lit(0.0))
+        + S.recency_decay(F.col("ts"), NOW_EPOCH)
+    )
+    return joined.select("conv_id", "turn_idx",
+                         S.quantize(final).alias("score_q"))

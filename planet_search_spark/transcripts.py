@@ -1,0 +1,128 @@
+"""Transcript table sources.
+
+The engine's input contract (BASELINE.json ``input_hint``) is a table
+``transcripts(conv_id string, turn_idx int, role string, text string,
+tool string, ts timestamp)`` — the transcript analogue of the reference's
+point-document stream (``PlanetSearchProfile.java:356-379``).
+
+Two deterministic sources:
+
+* :func:`transcripts_from_documents` — a pure-SQL-expressible bijective
+  mapping from the driver's ``documents`` parquet table onto the transcript
+  shape. Because the mapping uses only cross-engine-identical functions, the
+  DuckDB oracle (:data:`TRANSCRIPTS_CTE`) reconstructs the exact same rows,
+  which makes every downstream operator oracle-checkable.
+* :func:`synthesize_transcripts` — seed-stable generator of an adversarial
+  corpus (Hebrew niqqud, doubled vav/yod, apostrophes, accents, fuzzy pairs,
+  shared prefixes, hot terms, empty rows) per FIXTURES.md §1, for unit tests
+  and scale benches. No external data.
+"""
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_CONV = 101  # prime; spreads doc_ids across conversations
+
+ROLES = ["user", "assistant", "system", "tool"]
+TOOLS = ["search", "code", "browse"]
+EPOCH = "2026-01-01 00:00:00"
+
+
+def transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic documents → transcripts mapping (engine side)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    return docs.select(
+        F.format_string("conv_%04d", (d % N_CONV).cast("int")).alias("conv_id"),
+        (d / N_CONV).cast("int").alias("turn_idx"),
+        F.element_at(F.array(*[F.lit(r) for r in ROLES]),
+                     (d % 4).cast("int") + 1).alias("role"),
+        F.col("text"),
+        F.when(d % 3 == 0, F.lit("search"))
+         .when(d % 3 == 1, F.lit(None).cast("string"))
+         .otherwise(F.lit("code")).alias("tool"),
+        F.expr(f"timestampadd(MINUTE, cast(doc_id as int), timestamp'{EPOCH}')").alias("ts"),
+    )
+
+
+#: DuckDB CTE reconstructing the identical transcripts relation from the
+#: pre-registered ``documents`` view. Keep in lockstep with the function above.
+TRANSCRIPTS_CTE = f"""
+transcripts AS (
+  SELECT
+    printf('conv_%04d', doc_id % {N_CONV}) AS conv_id,
+    CAST(doc_id // {N_CONV} AS INT) AS turn_idx,
+    CASE doc_id % 4 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+                    WHEN 2 THEN 'system' ELSE 'tool' END AS role,
+    text,
+    CASE doc_id % 3 WHEN 0 THEN 'search' WHEN 1 THEN NULL ELSE 'code' END AS tool,
+    TIMESTAMP '{EPOCH}' + CAST(doc_id AS INT) * INTERVAL 1 MINUTE AS ts
+  FROM documents
+)
+"""
+
+# ---------------------------------------------------------------------------
+# Seed-stable synthetic corpus (FIXTURES.md §1) — adversarial analyzer input
+# ---------------------------------------------------------------------------
+
+_VOCAB_HOT = ["the", "error", "timeout", "retry", "spark", "data"]
+_VOCAB_MID = [
+    "shuffle", "partition", "broadcast", "executor", "postings", "lucene",
+    "tokenize", "segment", "merge", "varbyte", "heap", "score", "query",
+    "transcript", "checkpoint", "lineage", "metric", "skew", "salting",
+    # fuzzy pairs (edit distance 1-2)
+    "kitten", "sitten", "sitting", "planet", "plane", "planner",
+    # shared prefixes >= 2
+    "prefix", "prefetch", "preflight", "prepare", "prepend",
+]
+_VOCAB_EXOTIC = [
+    "שָׁלוֹם", "ירוּשָׁלַיִם", "וואדי", "מיים", "café", "naïve", "Müller",
+    "Pike's", "O’Brien", "ʼokina", "Ωμέγα", "привет", "مرحبا", "Łódź",
+    "STRASSE", "straße", "Ærø",
+]
+_PHRASES = [
+    "null pointer exception", "out of memory", "connection reset by peer",
+    "index out of range", "stack trace follows",
+]
+
+
+def synthesize_transcripts(spark: SparkSession, n_convs: int = 50,
+                           max_turns: int = 40, seed: int = 42) -> DataFrame:
+    """Deterministic adversarial transcript corpus as a Spark DataFrame."""
+    rng = random.Random(seed)
+    rows = []
+    ts0 = 1_767_225_600  # 2026-01-01T00:00:00Z
+    for c in range(n_convs):
+        conv = f"conv_{c:05d}"
+        # zipf-ish conversation length
+        n_turns = 1 + int(max_turns * (rng.random() ** 2))
+        for t in range(n_turns):
+            role = ROLES[rng.randrange(4)]
+            tool = TOOLS[rng.randrange(3)] if role == "tool" else (
+                TOOLS[0] if rng.random() < 0.1 else None)
+            words: list[str] = []
+            for _ in range(rng.randrange(3, 30)):
+                r = rng.random()
+                if r < 0.35:
+                    words.append(_VOCAB_HOT[rng.randrange(len(_VOCAB_HOT))])
+                elif r < 0.80:
+                    words.append(_VOCAB_MID[rng.randrange(len(_VOCAB_MID))])
+                elif r < 0.92:
+                    words.append(_VOCAB_EXOTIC[rng.randrange(len(_VOCAB_EXOTIC))])
+                else:
+                    words.append(f"uniq{rng.randrange(10_000_000)}")
+            if rng.random() < 0.25:
+                words.extend(_PHRASES[rng.randrange(len(_PHRASES))].split())
+            text = " ".join(words)
+            if rng.random() < 0.02:
+                text = ""          # empty-doc handling
+            elif rng.random() < 0.02:
+                text = "   "       # whitespace-only
+            rows.append((conv, t, role, text, tool, ts0 + c * 3600 + t * 60))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, epoch bigint")
+    return df.withColumn("ts", F.timestamp_seconds("epoch")).drop("epoch")
