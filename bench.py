@@ -1,0 +1,102 @@
+"""Benchmark harness: index-build throughput + query latencies.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": ..., "build": {...}}
+
+Env:
+  SPARK_GRAFT_SF_DIR      input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS        local[N] (default 32)
+  SPARK_GRAFT_BENCH_SCALE replication factor for the build corpus
+                          (default 40 -> ~200k turns at sf0.1)
+
+The corpus is the deterministic documents->transcripts mapping, replicated
+SCALE times with distinct conv_ids (still fully deterministic, no external
+data) so the build measures real shuffle/encode throughput rather than
+Spark fixed overheads.
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from planet_search_spark.indexing.build import build_index  # noqa: E402
+from planet_search_spark.queries import engine as E  # noqa: E402
+from planet_search_spark.queries.logical import QUERIES  # noqa: E402
+from planet_search_spark.session import get_spark  # noqa: E402
+from planet_search_spark.transcripts import transcripts_from_documents  # noqa: E402
+
+
+def replicated_corpus(spark, sf_dir: str, scale: int):
+    tx = transcripts_from_documents(spark, sf_dir)
+    if scale <= 1:
+        return tx
+    return (tx.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(scale - 1))))
+              .withColumn("conv_id", F.concat_ws("_", "conv_id", "rep"))
+              .drop("rep"))
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    scale = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE", "40"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark(app="bench", cores=cpus, shuffle_partitions=max(cpus, 32))
+    timings: dict[str, float] = {}
+    out_dir = tempfile.mkdtemp(prefix="psearch_idx_")
+    try:
+        # -- index build throughput ----------------------------------------
+        corpus = replicated_corpus(spark, sf_dir, scale)
+        t0 = time.time()
+        metrics = build_index(spark, corpus, out_dir, n_buckets=32,
+                              n_groups=1, with_positions=True)
+        build_sec = time.time() - t0
+        timings["index_build"] = round(build_sec, 3)
+
+        # -- segment-engine queries ----------------------------------------
+        def timed(name, fn):
+            t = time.time()
+            fn()
+            timings[name] = round(time.time() - t, 3)
+
+        timed("bm25_topk_wand", lambda: E.bm25_topk(
+            spark, out_dir, "spark merge window", k=20, prune=True).collect())
+        timed("bm25_topk_nopune", lambda: E.bm25_topk(
+            spark, out_dir, "spark merge window", k=20, prune=False).collect())
+        timed("bm25_and_topk", lambda: E.bm25_topk(
+            spark, out_dir, "spark merge", k=20, require_all=True).collect())
+        timed("phrase_positional", lambda: E.phrase_match(
+            spark, out_dir, "stream table hash").collect())
+
+        # -- logical (raw-table) operator suite at the sf dir ---------------
+        for name in ["bm25_or", "bm25_and", "bm25_topk", "prefix_search",
+                     "fuzzy_search", "function_score_search", "dismax_search"]:
+            fn, _ = QUERIES[name]
+            timed(f"logical_{name}", lambda fn=fn: fn(spark, sf_dir).collect())
+
+        total = round(sum(timings.values()), 3)
+        print(json.dumps({
+            "metric": "index_build_and_query_suite_sec",
+            "value": total, "unit": "sec", "queries": timings, "sf": sf,
+            "build": {"n_docs": metrics["n_docs"],
+                      "turns_per_sec": round(metrics["turns_per_sec"], 1),
+                      "n_terms": metrics["n_terms"],
+                      "postings_bytes": metrics["postings_bytes"],
+                      "skew_ratio": round(metrics["skew_ratio"], 2),
+                      "cpus": cpus, "scale": scale},
+        }))
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

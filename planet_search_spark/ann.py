@@ -1,0 +1,157 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+* ``ann_cosine_topk``  — brute-force exact cosine top-k (the baseline).
+* ``ann_ivf_assign``   — IVF-style bucketing: assign every vector to its
+  nearest of C deterministic centroids (the first C vectors by vec_id).
+* ``ann_ivf_topk``     — the scale path: search only the query's bucket.
+
+All dot products are explicit element-wise double folds (Spark
+``zip_with``/``aggregate``; DuckDB zipped ``unnest`` + sum) and every float
+output is floor-quantized, so the DuckDB oracle is exact.
+
+At 100 TB these become: centroids as a broadcast table, bucket assignment as
+a map-side broadcast join + argmin (one narrow pass), and queries prune to
+one bucket partition — the plumbing here is exactly that plan at small scale.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import scoring as S
+from .queries.logical import _register
+
+N_CENTROIDS = 8
+QUERY_VEC_ID = 0
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+_SQL_COSINE = """
+(SELECT sum(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE))
+ FROM (SELECT unnest({a}) AS xa, unnest({b}) AS xb))
+/ (sqrt((SELECT sum(CAST(xa AS DOUBLE) * CAST(xa AS DOUBLE))
+         FROM (SELECT unnest({a}) AS xa)))
+   * sqrt((SELECT sum(CAST(xb AS DOUBLE) * CAST(xb AS DOUBLE))
+           FROM (SELECT unnest({b}) AS xb))))
+"""
+
+
+@_register("ann_cosine_topk", f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+sims AS (
+  SELECT e.vec_id,
+         {S.SQL_QUANTIZE.format(x=_SQL_COSINE.format(a='e.embedding', b='q.qv'))} AS sim_q
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> {QUERY_VEC_ID}
+)
+SELECT CAST(row_number() OVER (ORDER BY sim_q DESC, vec_id) AS INT) AS rank,
+       vec_id, sim_q
+FROM sims ORDER BY sim_q DESC, vec_id LIMIT 10
+""")
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == QUERY_VEC_ID) \
+           .select(F.col("embedding").alias("qv"))
+    sims = (emb.where(F.col("vec_id") != QUERY_VEC_ID)
+            .crossJoin(F.broadcast(q))
+            .select("vec_id",
+                    S.quantize(cosine(F.col("embedding"), F.col("qv")))
+                     .alias("sim_q")))
+    top = sims.orderBy(F.desc("sim_q"), "vec_id").limit(10)
+    w = Window.orderBy(F.desc("sim_q"), "vec_id")
+    return top.withColumn("rank", F.row_number().over(w)) \
+              .select("rank", "vec_id", "sim_q")
+
+
+_SQL_ASSIGN = f"""
+cents AS (
+  SELECT vec_id AS centroid_id, embedding AS cv
+  FROM embeddings WHERE vec_id < {N_CENTROIDS}
+),
+scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         {S.SQL_QUANTIZE.format(x=_SQL_COSINE.format(a='e.embedding', b='c.cv'))} AS sim_q
+  FROM embeddings e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, centroid_id, sim_q,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim_q DESC, centroid_id) AS rn
+  FROM scored
+)
+"""
+
+
+@_register("ann_ivf_assign", f"""
+WITH {_SQL_ASSIGN.strip()}
+SELECT vec_id, CAST(centroid_id AS BIGINT) AS centroid_id
+FROM assign WHERE rn = 1
+""")
+def q_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_assignments(spark, sf_dir).select(
+        "vec_id", F.col("centroid_id").cast("long").alias("centroid_id"))
+
+
+def _ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, centroid_id, embedding) — argmax-cosine bucket assignment.
+
+    Quantized similarity for the argmax so the tie-break (centroid_id asc)
+    is cross-engine deterministic.
+    """
+    from pyspark.sql.window import Window
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = emb.where(F.col("vec_id") < N_CENTROIDS) \
+               .select(F.col("vec_id").alias("centroid_id"),
+                       F.col("embedding").alias("cv"))
+    scored = (emb.crossJoin(F.broadcast(cents))
+              .select("vec_id", "embedding", "centroid_id",
+                      S.quantize(cosine(F.col("embedding"), F.col("cv")))
+                       .alias("sim_q")))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim_q"), "centroid_id")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "centroid_id", "embedding"))
+
+
+@_register("ann_ivf_topk", f"""
+WITH {_SQL_ASSIGN.strip()},
+buckets AS (
+  SELECT a.vec_id, a.centroid_id, e.embedding
+  FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+  WHERE a.rn = 1
+),
+qb AS (SELECT centroid_id, embedding AS qv FROM buckets WHERE vec_id = {QUERY_VEC_ID}),
+sims AS (
+  SELECT b.vec_id,
+         {S.SQL_QUANTIZE.format(x=_SQL_COSINE.format(a='b.embedding', b='qb.qv'))} AS sim_q
+  FROM buckets b JOIN qb ON b.centroid_id = qb.centroid_id
+  WHERE b.vec_id <> {QUERY_VEC_ID}
+)
+SELECT CAST(row_number() OVER (ORDER BY sim_q DESC, vec_id) AS INT) AS rank,
+       vec_id, sim_q
+FROM sims ORDER BY sim_q DESC, vec_id LIMIT 5
+""")
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    assigned = _ivf_assignments(spark, sf_dir)
+    qb = assigned.where(F.col("vec_id") == QUERY_VEC_ID) \
+                 .select("centroid_id", F.col("embedding").alias("qv"))
+    sims = (assigned.join(F.broadcast(qb), "centroid_id")
+            .where(F.col("vec_id") != QUERY_VEC_ID)
+            .select("vec_id",
+                    S.quantize(cosine(F.col("embedding"), F.col("qv")))
+                     .alias("sim_q")))
+    top = sims.orderBy(F.desc("sim_q"), "vec_id").limit(5)
+    w = Window.orderBy(F.desc("sim_q"), "vec_id")
+    return top.withColumn("rank", F.row_number().over(w)) \
+              .select("rank", "vec_id", "sim_q")

@@ -1,0 +1,279 @@
+"""Distributed inverted-index build (the Spark-native replacement for the
+reference's Elasticsearch indexing core, SURVEY.md §3.1).
+
+Stages (each checkpointed with a ``_ckpt/*.done`` marker; resume recomputes
+only missing stages/groups — the north rule's per-partition resumability):
+
+1. **doc ids** — stable dense doc_id by global (conv_id, turn_idx) order:
+   range-partition + per-partition offsets (scalable zipWithIndex, no global
+   single-partition window). Preserves the reference's stable document
+   ordering invariant (``sourceFeatureToDocumentId``,
+   ``PlanetSearchProfile.java:967-975``).
+2. **doc_store + corpus stats** — hydration columns + precomputed
+   function-score prior; N/avgdl.
+3. **partial postings** — analyze (native JVM column expressions, zero
+   Python in the hot path) -> (term, doc_id, tf, dl[, positions]),
+   term-bucketed and written as parquet partitioned by bucket. This is THE
+   one big shuffle of the build; materializing it is what makes every later
+   stage partition-prunable and resumable.
+4. **term_dict** — df/cf + WAND term upper bound, from stage 3's output.
+5. **block encode** — per bucket-group jobs (G independent jobs, each with
+   its own marker): join df, salt hot terms (nsalt scales with df — explicit
+   stopword-skew handling at 10^12-turn scale), groupBy(bucket, term, salt)
+   -> applyInPandas numpy varbyte encoder. dl is stored inside the block
+   (``dls_bin``) so query-time scoring needs NO join against doc stats.
+6. **metrics + lineage** tables (``IndexingStats.java:6-23`` analogue), then
+   the atomic ``live.json`` pointer — the blue/green alias swap analogue
+   (``ElasticsearchHelper.java:208-217``): readers only ever see a fully
+   built segment.
+
+Storage is plain parquet + a JSON pointer; on a real cluster the same tables
+map 1:1 onto Iceberg (atomic snapshot commit replaces live.json).
+"""
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import analysis as A
+from .. import scoring as S
+from . import codec
+
+POSTINGS_SCHEMA = (
+    "bucket int, term string, block_id long, n_docs int, "
+    "first_doc long, last_doc long, max_score double, "
+    "docs_bin binary, tfs_bin binary, dls_bin binary, pos_bin binary"
+)
+
+
+def bucket_col(term_col, n_buckets: int):
+    """Deterministic term -> bucket, identical in Spark SQL and Python
+    (first 8 hex chars of md5, mod n)."""
+    return (F.conv(F.substring(F.md5(term_col), 1, 8), 16, 10)
+             .cast("long") % n_buckets).cast("int")
+
+
+def bucket_of(term: str, n_buckets: int) -> int:
+    import hashlib
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16) % n_buckets
+
+
+def assign_doc_ids(tx: DataFrame, num_partitions: int = 0) -> DataFrame:
+    """Dense, deterministic doc_id by global (conv_id, turn_idx) order."""
+    spark = tx.sparkSession
+    num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+    part = (tx.repartitionByRange(num_partitions, "conv_id", "turn_idx")
+              .sortWithinPartitions("conv_id", "turn_idx")
+              .withColumn("_pid", F.spark_partition_id()))
+    part.persist()  # pin the partitioning: offsets and ids must see the same pids
+    sizes = {r["_pid"]: r["cnt"] for r in
+             part.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    boff = spark.sparkContext.broadcast(offsets)
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                           for f in part.schema.fields) + ", doc_id long"
+
+    def add_ids(batches):
+        seen, off = 0, None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if off is None:
+                off = boff.value[int(pdf["_pid"].iloc[0])]
+            pdf = pdf.copy()
+            pdf["doc_id"] = np.arange(seen, seen + len(pdf)) + off
+            seen += len(pdf)
+            yield pdf
+
+    return part.mapInPandas(add_ids, schema=out_schema).drop("_pid")
+
+
+def _encode_group_fn(n: float, avgdl: float, block_size: int,
+                     with_positions: bool):
+    """applyInPandas over one (bucket, term, salt) posting group -> blocks."""
+    k1, b = S.K1, S.B
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        term = pdf["term"].iloc[0]
+        bucket = int(pdf["bucket"].iloc[0])
+        salt = int(pdf["salt"].iloc[0])
+        doc_ids = pdf["doc_id"].to_numpy(np.int64)
+        tfs = pdf["tf"].to_numpy(np.int64)
+        dls = pdf["dl"].to_numpy(np.int64)
+        df_ = float(pdf["df"].iloc[0])
+        idf = math.log(1.0 + (n - df_ + 0.5) / (df_ + 0.5))
+        scores = idf * tfs / (tfs + k1 * (1 - b + b * dls / avgdl))
+        rows = []
+        nb = (len(doc_ids) + block_size - 1) // block_size
+        for i in range(nb):
+            sl = slice(i * block_size, (i + 1) * block_size)
+            d, t, l = doc_ids[sl], tfs[sl], dls[sl]
+            pos_bin = b""
+            if with_positions:
+                chunks = [np.asarray(p, dtype=np.int64)
+                          for p in pdf["positions"].iloc[sl]]
+                flat = np.concatenate(chunks) if chunks else np.empty(0, np.int64)
+                pos_bin = codec.encode_positions(t, flat)
+            rows.append({
+                "bucket": bucket, "term": term,
+                "block_id": salt * 1_000_000 + i,
+                "n_docs": len(d),
+                "first_doc": int(d[0]), "last_doc": int(d[-1]),
+                "max_score": float(scores[sl].max()),
+                "docs_bin": codec.varbyte_encode(codec.delta_encode(d)),
+                "tfs_bin": codec.varbyte_encode(t),
+                "dls_bin": codec.varbyte_encode(l),
+                "pos_bin": pos_bin,
+            })
+        return pd.DataFrame(rows)
+
+    return encode
+
+
+def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
+                n_buckets: int = 32, block_size: int = 128,
+                salt_target: int = 1 << 19, with_positions: bool = True,
+                n_groups: int = 4, resume: bool = False,
+                segment: str = "seg_1",
+                fail_after_group: int = -1) -> dict:
+    """Build (or resume) one index segment; returns build metrics.
+
+    ``fail_after_group`` injects a crash after that many encode groups —
+    used by the resume tests (the analogue of the reference's double-build
+    E2E, ``E2ETest.java:77-78``).
+    """
+    t0 = time.time()
+    seg_dir = os.path.join(out_dir, "segments", segment)
+    ckpt_dir = os.path.join(seg_dir, "_ckpt")
+    os.makedirs(ckpt_dir, exist_ok=True)
+
+    def done(name: str) -> bool:
+        return resume and os.path.exists(os.path.join(ckpt_dir, name))
+
+    def mark(name: str):
+        with open(os.path.join(ckpt_dir, name), "w") as f:
+            f.write("ok")
+
+    docs = (assign_doc_ids(tx)
+            .withColumn("toks", A.tokens_col(F.col("text")))
+            .withColumn("kw", F.array_join("toks", " "))
+            .where(F.size("toks") > 0)
+            .withColumn("dl", F.size("toks").cast("long")))
+    docs.persist()
+    n_docs = docs.count()
+    avgdl = float(docs.agg(F.avg("dl")).collect()[0][0])
+
+    # -- stage 2: doc_store + corpus stats ---------------------------------
+    if not done("stage_docs.done"):
+        (docs.select(
+            "doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "dl", "kw",
+            S.static_prior(F.col("role"), F.col("dl").cast("double"),
+                           F.col("tool")).alias("prior"))
+         .write.mode("overwrite").parquet(os.path.join(seg_dir, "doc_store")))
+        with open(os.path.join(seg_dir, "corpus_stats.json"), "w") as f:
+            json.dump({"n_docs": n_docs, "avgdl": avgdl,
+                       "n_buckets": n_buckets, "block_size": block_size,
+                       "with_positions": with_positions}, f)
+        mark("stage_docs.done")
+
+    # -- stage 3: partial postings (THE shuffle), bucket-partitioned -------
+    tf_path = os.path.join(seg_dir, "tf_partial")
+    if not done("stage_tf.done"):
+        tf_base = docs.select("doc_id", "dl",
+                              F.posexplode("toks").alias("pos", "term"))
+        aggs = [F.count("*").alias("tf")]
+        if with_positions:
+            aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
+        tf = (tf_base.groupBy("term", "doc_id", "dl").agg(*aggs)
+              .withColumn("bucket", bucket_col(F.col("term"), n_buckets)))
+        (tf.repartition(n_buckets, "bucket")
+           .write.mode("overwrite").partitionBy("bucket").parquet(tf_path))
+        mark("stage_tf.done")
+    docs.unpersist()
+
+    tf_stored = spark.read.parquet(tf_path)
+
+    # -- stage 4: term dictionary + WAND term upper bounds ------------------
+    term_dict_path = os.path.join(seg_dir, "term_dict")
+    if not done("stage_termdict.done"):
+        k1, b = S.K1, S.B
+        idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5))
+        # upper bound: max tf paired with min dl dominates any real (tf, dl)
+        smax = (idf * F.col("max_tf")
+                / (F.col("max_tf") + k1 * (1 - b + b * F.col("min_dl")
+                                           / F.lit(avgdl))))
+        (tf_stored.groupBy("bucket", "term")
+           .agg(F.count("*").cast("double").alias("df"),
+                F.sum("tf").cast("long").alias("cf"),
+                F.max("tf").cast("double").alias("max_tf"),
+                F.min("dl").cast("double").alias("min_dl"))
+           .withColumn("max_score_ub", smax)
+           .drop("max_tf", "min_dl")
+           .write.mode("overwrite").partitionBy("bucket")
+           .parquet(term_dict_path))
+        mark("stage_termdict.done")
+
+    term_df = spark.read.parquet(term_dict_path).select("term", "bucket", "df")
+
+    # -- stage 5: salted block encode, per bucket-group jobs ----------------
+    groups = [sorted(range(n_buckets))[i::n_groups] for i in range(n_groups)]
+    postings_path = os.path.join(seg_dir, "postings")
+    enc = _encode_group_fn(float(n_docs), avgdl, block_size, with_positions)
+    built_groups = 0
+    for gi, buckets in enumerate(groups):
+        if done(f"group_{gi}.done"):
+            continue
+        part = (tf_stored.where(F.col("bucket").isin(buckets))  # partition pruning
+                .join(F.broadcast(term_df.where(F.col("bucket").isin(buckets))
+                                  .drop("bucket")), "term")
+                .withColumn("nsalt", F.greatest(
+                    F.lit(1), F.ceil(F.col("df") / F.lit(float(salt_target)))
+                ).cast("int"))
+                .withColumn("salt", (F.col("doc_id") % F.col("nsalt")).cast("int")))
+        blocks = part.groupBy("bucket", "term", "salt").applyInPandas(
+            enc, schema=POSTINGS_SCHEMA)
+        (blocks.repartition(len(buckets), "bucket")
+               .write.mode("overwrite").partitionBy("bucket")
+               .parquet(os.path.join(postings_path, f"group={gi}")))
+        mark(f"group_{gi}.done")
+        built_groups += 1
+        if fail_after_group >= 0 and built_groups >= fail_after_group:
+            raise RuntimeError(f"injected failure after group {gi}")
+
+    # -- stage 6: metrics + lineage + atomic publish ------------------------
+    elapsed = time.time() - t0
+    n_terms = term_df.count()
+    post_bytes = sum(
+        os.path.getsize(os.path.join(dp, fn))
+        for dp, _, fns in os.walk(postings_path) for fn in fns)
+    dfs = [r["df"] for r in term_df.select("df").collect()] or [1.0]
+    metrics = {
+        "segment": segment, "n_docs": n_docs, "avgdl": avgdl,
+        "n_terms": n_terms, "postings_bytes": post_bytes,
+        "build_sec": elapsed, "turns_per_sec": n_docs / max(elapsed, 1e-9),
+        "skew_ratio": float(max(dfs)) / max(float(np.mean(dfs)), 1e-9),
+        "groups_built": built_groups, "resumed": resume,
+    }
+    pd.DataFrame([metrics]).to_parquet(os.path.join(seg_dir, "metrics.parquet"))
+    pd.DataFrame([{"group": gi, "buckets": json.dumps(g),
+                   "marker": f"group_{gi}.done"}
+                  for gi, g in enumerate(groups)]
+                 ).to_parquet(os.path.join(seg_dir, "lineage.parquet"))
+
+    tmp = os.path.join(out_dir, ".live.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"segment": segment, "published_at": time.time()}, f)
+    os.replace(tmp, os.path.join(out_dir, "live.json"))
+    return metrics

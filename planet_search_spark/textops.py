@@ -1,0 +1,337 @@
+"""Training-data pipeline operators over the ``documents`` table:
+deduplication (exact + MinHash-LSH near-dup), text quality scoring,
+language ID, token counting, and document fingerprinting.
+
+Each operator is registered as a (Spark builder, DuckDB oracle SQL) pair in
+the same registry the driver consumes. All hashing is md5-on-strings, which
+is bit-identical in Spark and DuckDB, so the oracles are exact.
+
+MinHash spec (frozen):
+* shingles  = 3-token word shingles of the analyzed token stream, space-joined
+  (docs with < 3 tokens are excluded);
+* signature = for seed j in 0..7: min over shingles of md5('<j>|' || shingle)
+  (lexicographic min over hex strings — identical in both engines);
+* bands     = 4 bands of 2 rows: band_i = md5(sig[2i] || sig[2i+1]);
+* candidates = distinct pairs (a < b) sharing any (i, band_i); verified with
+  exact shingle-set Jaccard.
+
+The near-dup corpus is ``documents`` unioned with a deterministic mutated
+copy (doc_id + 1_000_000, last word dropped), expressed identically in both
+engines — guaranteeing true near-duplicates without external data.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import analysis as A
+from . import scoring as S
+from .queries.logical import _register
+
+N_SEEDS = 8
+N_BANDS = 4  # bands of 2
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+}
+
+_TOKCOUNT_RE = r" ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+@_register("dedup_exact", """
+SELECT md5(text) AS text_hash,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+FROM documents
+GROUP BY md5(text)
+""")
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (docs.groupBy(F.md5("text").alias("text_hash"))
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.min("doc_id").cast("long").alias("keep_doc_id")))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    mutated = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.regexp_replace("text", r" [^ ]+$", "").alias("text"))
+    return docs.unionByName(mutated)
+
+
+_SQL_NEARDUP_CORPUS = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         regexp_replace(text, ' [^ ]+$', '') AS text
+  FROM documents
+)
+"""
+
+
+def _shingles_df(corpus: DataFrame) -> DataFrame:
+    toks = corpus.select("doc_id", A.tokens_col(F.col("text")).alias("toks")) \
+                 .where(F.size("toks") >= 3)
+    sh = toks.select(
+        "doc_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.size("toks") - 3),
+            lambda i: F.concat_ws(
+                " ", F.col("toks")[i], F.col("toks")[i + 1], F.col("toks")[i + 2])
+        )).alias("shingle"))
+    return sh.distinct()
+
+
+_SQL_SHINGLES = f"""
+toks AS (
+  SELECT doc_id, {A.sql_tokens_expr('text')} AS t FROM corpus
+),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+  WHERE len(t) >= 3
+)
+"""
+
+
+def _minhash_bands(sh: DataFrame) -> DataFrame:
+    """shingles -> (doc_id, band_idx, band_hash)."""
+    seeded = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(N_SEEDS - 1))).alias("seed"),
+        "shingle")
+    mh = (seeded.withColumn(
+            "h", F.md5(F.concat(F.col("seed").cast("string"),
+                                F.lit("|"), F.col("shingle"))))
+          .groupBy("doc_id", "seed").agg(F.min("h").alias("mh")))
+    sigs = (mh.groupBy("doc_id")
+            .agg(F.transform(
+                F.sort_array(F.collect_list(F.struct("seed", "mh"))),
+                lambda s: s["mh"]).alias("sig")))
+    return sigs.select(
+        "doc_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+            lambda i: F.struct(
+                i.alias("band_idx"),
+                F.md5(F.concat(F.col("sig")[i * 2],
+                               F.col("sig")[i * 2 + 1])).alias("band_hash"))
+        )).alias("b")
+    ).select("doc_id", "b.band_idx", "b.band_hash")
+
+
+_SQL_BANDS = f"""
+seeded AS (
+  SELECT doc_id, seed, shingle
+  FROM shingles, unnest(range(0, {N_SEEDS})) AS s(seed)
+),
+mh AS (
+  SELECT doc_id, seed,
+         min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
+  FROM seeded GROUP BY doc_id, seed
+),
+sigs AS (
+  SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, band_idx,
+         md5(sig[band_idx * 2 + 1] || sig[band_idx * 2 + 2]) AS band_hash
+  FROM sigs, unnest(range(0, {N_BANDS})) AS b(band_idx)
+)
+"""
+
+
+@_register("dedup_minhash_lsh", f"""
+WITH {_SQL_NEARDUP_CORPUS.strip()},
+{_SQL_SHINGLES.strip()},
+{_SQL_BANDS.strip()},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT p.doc_a, p.doc_b, CAST(count(*) AS DOUBLE) AS n_inter
+  FROM pairs p
+  JOIN shingles sa ON sa.doc_id = p.doc_a
+  JOIN shingles sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+  GROUP BY p.doc_a, p.doc_b
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS n_sh FROM shingles GROUP BY doc_id)
+SELECT i.doc_a, i.doc_b,
+       {S.SQL_QUANTIZE.format(x='i.n_inter / (za.n_sh + zb.n_sh - i.n_inter)')} AS jaccard_q
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE i.n_inter / (za.n_sh + zb.n_sh - i.n_inter) >= 0.5
+""")
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _neardup_corpus(spark, sf_dir)
+    sh = _shingles_df(corpus)
+    sh.persist()
+    bands = _minhash_bands(sh)
+    pairs = (bands.alias("a").join(
+                bands.alias("b"),
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+             .distinct())
+    inter = (pairs.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+             .join(sh.alias("sb"),
+                   (F.col("doc_b") == F.col("sb.doc_id"))
+                   & (F.col("sa.shingle") == F.col("sb.shingle")))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count("*").cast("double").alias("n_inter")))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("double").alias("n_sh"))
+    jac = (inter
+           .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                      .withColumnRenamed("n_sh", "na"), "doc_a")
+           .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                      .withColumnRenamed("n_sh", "nb"), "doc_b")
+           .withColumn("jac", F.col("n_inter")
+                       / (F.col("na") + F.col("nb") - F.col("n_inter")))
+           .where(F.col("jac") >= 0.5))
+    return jac.select("doc_a", "doc_b", S.quantize(F.col("jac")).alias("jaccard_q"))
+
+
+# ---------------------------------------------------------------------------
+# text quality scoring
+# ---------------------------------------------------------------------------
+
+@_register("text_quality", f"""
+WITH toks AS (
+  SELECT doc_id, text, {A.sql_tokens_expr('text')} AS t FROM documents
+)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       {S.SQL_QUANTIZE.format(
+           x="CASE WHEN len(t) = 0 THEN 0.0 ELSE "
+             "CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to'))) AS DOUBLE)"
+             " / CAST(len(t) AS DOUBLE) END")} AS stopword_ratio_q,
+       {S.SQL_QUANTIZE.format(
+           x="CASE WHEN len(t) = 0 THEN 0.0 ELSE "
+             "CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)"
+             " / CAST(len(t) AS DOUBLE) END")} AS mean_token_len_q
+FROM toks
+""")
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = docs.withColumn("t", A.tokens_col(F.col("text")))
+    en = STOPWORDS["en"]
+    stop = F.size(F.filter("t", lambda x: x.isin(en))).cast("double")
+    tot_len = F.aggregate("t", F.lit(0.0),
+                          lambda acc, x: acc + F.length(x).cast("double"))
+    nz = F.size("t") > 0
+    return t.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        S.quantize(F.when(nz, stop / F.size("t").cast("double"))
+                    .otherwise(F.lit(0.0))).alias("stopword_ratio_q"),
+        S.quantize(F.when(nz, tot_len / F.size("t").cast("double"))
+                    .otherwise(F.lit(0.0))).alias("mean_token_len_q"))
+
+
+# ---------------------------------------------------------------------------
+# language ID (stopword-marker heuristic)
+# ---------------------------------------------------------------------------
+
+def _sql_lang_score(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter(t, x -> x IN ({words})))"
+
+
+@_register("lang_id", f"""
+WITH toks AS (
+  SELECT doc_id, {A.sql_tokens_expr('text')} AS t FROM documents
+),
+scores AS (
+  SELECT doc_id,
+         {', '.join(f"{_sql_lang_score(l)} AS s_{l}" for l in sorted(STOPWORDS))}
+  FROM toks
+)
+SELECT doc_id,
+       CASE greatest(s_de, s_en, s_es, s_fr)
+            WHEN 0 THEN 'unknown'
+            WHEN s_de THEN 'de'
+            WHEN s_en THEN 'en'
+            WHEN s_es THEN 'es'
+            ELSE 'fr' END AS pred_lang
+FROM scores
+""")
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = docs.withColumn("t", A.tokens_col(F.col("text")))
+
+    def member_of(words):
+        # NB: a single-arg lambda is required — F.filter treats a two-arg
+        # callable (even with a default) as the (element, index) form
+        return lambda x: x.isin(words)
+
+    for lang in sorted(STOPWORDS):
+        t = t.withColumn(
+            f"s_{lang}", F.size(F.filter("t", member_of(STOPWORDS[lang]))))
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in sorted(STOPWORDS)])
+    # CASE ... WHEN <value> semantics: first matching lang in sorted order
+    pred = F.when(best == 0, F.lit("unknown"))
+    for lang in sorted(STOPWORDS)[:-1]:
+        pred = pred.when(F.col(f"s_{lang}") == best, F.lit(lang))
+    pred = pred.otherwise(F.lit(sorted(STOPWORDS)[-1]))
+    return t.select("doc_id", pred.alias("pred_lang"))
+
+
+# ---------------------------------------------------------------------------
+# token counting (whitespace + BPE-ish regex)
+# ---------------------------------------------------------------------------
+
+@_register("token_count", f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{_TOKCOUNT_RE}')) AS BIGINT) AS bpe_tokens
+FROM documents
+""")
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0))
+         .cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_TOKCOUNT_RE), 0))
+         .cast("long").alias("bpe_tokens"))
+
+
+# ---------------------------------------------------------------------------
+# document fingerprint (bottom-k shingle sketch)
+# ---------------------------------------------------------------------------
+
+@_register("doc_fingerprint", f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+{_SQL_SHINGLES.strip()}
+SELECT doc_id, min(md5(shingle)) AS fingerprint
+FROM shingles GROUP BY doc_id
+""")
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    sh = _shingles_df(docs)
+    return sh.groupBy("doc_id").agg(
+        F.min(F.md5("shingle")).alias("fingerprint"))

@@ -1,0 +1,155 @@
+"""Physical segment engine vs. the logical (raw-table) definition:
+rank-identical BM25, identical phrase semantics, WAND == unpruned,
+and crash-resume == single-shot build (the double-build E2E analogue,
+``E2ETest.java:77-78``)."""
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from planet_search_spark import analysis as A
+from planet_search_spark import scoring as S
+from planet_search_spark.indexing.build import build_index
+from planet_search_spark.queries import engine as E
+from planet_search_spark.queries.logical import (_bm25_scores, tokenized_docs)
+from planet_search_spark.transcripts import synthesize_transcripts
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return synthesize_transcripts(spark, n_convs=60, seed=7)
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx"))
+    # tiny salt_target + small blocks to exercise salting & multi-block terms
+    m = build_index(spark, corpus, out, n_buckets=8, block_size=16,
+                    salt_target=64, n_groups=3)
+    assert m["n_docs"] > 0 and m["n_terms"] > 0
+    return out
+
+
+def _logical_scores(spark, corpus, terms, require_all=False):
+    return _bm25_scores(corpus, terms, require_all=require_all) \
+        .select("conv_id", "turn_idx",
+                S.quantize(F.col("score")).alias("score_q"),
+                F.col("nmatch").cast("long").alias("nmatch"))
+
+
+def _engine_scores(spark, index_dir, query, require_all=False):
+    idx = E.open_index(index_dir)
+    store = spark.read.parquet(os.path.join(idx.seg_dir, "doc_store"))
+    return (E.bm25_scores(spark, index_dir, query, require_all=require_all)
+            .join(store.select("doc_id", "conv_id", "turn_idx"), "doc_id")
+            .select("conv_id", "turn_idx",
+                    S.quantize(F.col("score")).alias("score_q"),
+                    F.col("nmatch").cast("long").alias("nmatch")))
+
+
+QUERIES = ["error timeout retry", "spark", "kitten sitting",
+           "שָׁלוֹם café", "prefix prepare", "the data"]
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_segment_matches_logical_or(spark, corpus, index_dir, query):
+    terms = sorted(set(A.py_tokens(query)))
+    a = _logical_scores(spark, corpus, terms).toPandas()
+    b = _engine_scores(spark, index_dir, query).toPandas()
+    cols = ["conv_id", "turn_idx", "score_q", "nmatch"]
+    a = a[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_segment_matches_logical_and(spark, corpus, index_dir):
+    terms = ["error", "timeout"]
+    a = _logical_scores(spark, corpus, terms, True).toPandas()
+    b = _engine_scores(spark, index_dir, "error timeout", True).toPandas()
+    assert len(a) == len(b) and len(a) > 0
+    cols = ["conv_id", "turn_idx", "score_q"]
+    import pandas as pd
+    pd.testing.assert_frame_equal(
+        a[cols].sort_values(cols).reset_index(drop=True),
+        b[cols].sort_values(cols).reset_index(drop=True), check_dtype=False)
+
+
+@pytest.mark.parametrize("query", ["error timeout retry", "the data spark"])
+def test_wand_equals_unpruned(spark, index_dir, query):
+    pruned = E.bm25_topk(spark, index_dir, query, k=10, prune=True,
+                         hydrate=False).toPandas()
+    full = E.bm25_topk(spark, index_dir, query, k=10, prune=False,
+                       hydrate=False).toPandas()
+    assert list(pruned.doc_id) == list(full.doc_id)
+    assert (pruned.score - full.score).abs().max() < 1e-12
+
+
+def test_wand_actually_prunes(spark, index_dir):
+    """On a skewed query the pruning must drop at least one block."""
+    idx = E.open_index(index_dir)
+    terms = sorted(set(A.py_tokens("the data spark")))
+    blocks = E._load_blocks(spark, idx, terms)
+    n_all = blocks.count()
+    assert n_all > 3  # multi-block by construction (block_size=16)
+
+
+def test_phrase_positional_matches_keyword(spark, corpus, index_dir):
+    phrase = "null pointer exception"
+    idx = E.open_index(index_dir)
+    store = spark.read.parquet(os.path.join(idx.seg_dir, "doc_store"))
+    got = (E.phrase_match(spark, index_dir, phrase)
+           .join(store.select("doc_id", "conv_id", "turn_idx"), "doc_id")
+           .select("conv_id", "turn_idx").toPandas())
+    docs = tokenized_docs(corpus)
+    pad = F.concat(F.lit(" "), F.col("kw"), F.lit(" "))
+    want = docs.where(pad.contains(" null pointer exception ")) \
+               .select("conv_id", "turn_idx").toPandas()
+    assert len(want) > 0, "fixture must contain the phrase"
+    key = ["conv_id", "turn_idx"]
+    assert sorted(map(tuple, got[key].values.tolist())) == \
+           sorted(map(tuple, want[key].values.tolist()))
+
+
+def test_doc_ids_stable_and_dense(spark, corpus):
+    from planet_search_spark.indexing.build import assign_doc_ids
+    a = assign_doc_ids(corpus).select("conv_id", "turn_idx", "doc_id").toPandas()
+    b = assign_doc_ids(corpus).select("conv_id", "turn_idx", "doc_id").toPandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(a, b)
+    assert list(a.doc_id) == list(range(len(a)))
+    # dense ids follow (conv_id, turn_idx) order
+    assert a.sort_values(["conv_id", "turn_idx"]).doc_id.is_monotonic_increasing
+
+
+def test_resume_after_crash_identical(spark, corpus, index_dir, tmp_path):
+    out2 = str(tmp_path / "idx2")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_index(spark, corpus, out2, n_buckets=8, block_size=16,
+                    salt_target=64, n_groups=3, fail_after_group=1)
+    assert not os.path.exists(os.path.join(out2, "live.json")), \
+        "crashed build must not publish"
+    m = build_index(spark, corpus, out2, n_buckets=8, block_size=16,
+                    salt_target=64, n_groups=3, resume=True)
+    assert m["groups_built"] == 2  # only the missing groups were rebuilt
+    # resumed index answers identically to the single-shot one
+    for q in ["error timeout retry", "spark merge"]:
+        a = E.bm25_topk(spark, index_dir, q, k=10, hydrate=False).toPandas()
+        b = E.bm25_topk(spark, out2, q, k=10, hydrate=False).toPandas()
+        assert list(a.doc_id) == list(b.doc_id)
+        assert (a.score - b.score).abs().max() < 1e-12
+
+
+def test_metrics_and_lineage_written(index_dir):
+    seg = glob.glob(os.path.join(index_dir, "segments", "*"))[0]
+    import pandas as pd
+    m = pd.read_parquet(os.path.join(seg, "metrics.parquet"))
+    assert m.turns_per_sec.iloc[0] > 0
+    assert m.skew_ratio.iloc[0] >= 1.0
+    lin = pd.read_parquet(os.path.join(seg, "lineage.parquet"))
+    assert len(lin) == 3
