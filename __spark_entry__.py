@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 import planet_search_spark.ann  # noqa: F401 — registers ANN queries
 import planet_search_spark.multimodal  # noqa: F401,E402 — registers multimodal plumbing
 import planet_search_spark.textops  # noqa: F401 — registers training-data ops
+import planet_search_spark.queries.reference_ops  # noqa: F401,E402 — registers §2A analogues
 from planet_search_spark.queries.logical import QUERIES
 
 

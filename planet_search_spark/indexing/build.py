@@ -105,45 +105,41 @@ def _encode_group_fn(n: float, avgdl: float, block_size: int,
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")
-        term = pdf["term"].iloc[0]
-        bucket = int(pdf["bucket"].iloc[0])
-        salt = int(pdf["salt"].iloc[0])
         doc_ids = pdf["doc_id"].to_numpy(np.int64)
         tfs = pdf["tf"].to_numpy(np.int64)
         dls = pdf["dl"].to_numpy(np.int64)
+        flat_pos = None
+        if with_positions:
+            flat_pos = (np.concatenate(
+                [np.asarray(p, dtype=np.int64) for p in pdf["positions"]])
+                if len(pdf) else np.empty(0, np.int64))
+        blocks = codec.encode_blocks(doc_ids, tfs, dls, flat_pos, block_size)
+        nb = len(blocks["docs_bin"])
         df_ = float(pdf["df"].iloc[0])
         idf = math.log(1.0 + (n - df_ + 0.5) / (df_ + 0.5))
         scores = idf * tfs / (tfs + k1 * (1 - b + b * dls / avgdl))
-        rows = []
-        nb = (len(doc_ids) + block_size - 1) // block_size
-        for i in range(nb):
-            sl = slice(i * block_size, (i + 1) * block_size)
-            d, t, l = doc_ids[sl], tfs[sl], dls[sl]
-            pos_bin = b""
-            if with_positions:
-                chunks = [np.asarray(p, dtype=np.int64)
-                          for p in pdf["positions"].iloc[sl]]
-                flat = np.concatenate(chunks) if chunks else np.empty(0, np.int64)
-                pos_bin = codec.encode_positions(t, flat)
-            rows.append({
-                "bucket": bucket, "term": term,
-                "block_id": salt * 1_000_000 + i,
-                "n_docs": len(d),
-                "first_doc": int(d[0]), "last_doc": int(d[-1]),
-                "max_score": float(scores[sl].max()),
-                "docs_bin": codec.varbyte_encode(codec.delta_encode(d)),
-                "tfs_bin": codec.varbyte_encode(t),
-                "dls_bin": codec.varbyte_encode(l),
-                "pos_bin": pos_bin,
-            })
-        return pd.DataFrame(rows)
+        starts = np.arange(0, len(doc_ids), block_size)
+        salt = int(pdf["salt"].iloc[0])
+        return pd.DataFrame({
+            "bucket": np.repeat(int(pdf["bucket"].iloc[0]), nb),
+            "term": np.repeat(pdf["term"].iloc[0], nb),
+            "block_id": salt * 1_000_000 + np.arange(nb, dtype=np.int64),
+            "n_docs": np.asarray(blocks["n_docs"], np.int32),
+            "first_doc": np.asarray(blocks["first_doc"], np.int64),
+            "last_doc": np.asarray(blocks["last_doc"], np.int64),
+            "max_score": np.maximum.reduceat(scores, starts),
+            "docs_bin": blocks["docs_bin"],
+            "tfs_bin": blocks["tfs_bin"],
+            "dls_bin": blocks["dls_bin"],
+            "pos_bin": blocks["pos_bin"] if with_positions else [b""] * nb,
+        })
 
     return encode
 
 
 def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
                 n_buckets: int = 32, block_size: int = 128,
-                salt_target: int = 1 << 19, with_positions: bool = True,
+                salt_target: int = 1 << 16, with_positions: bool = True,
                 n_groups: int = 4, resume: bool = False,
                 segment: str = "seg_1",
                 fail_after_group: int = -1) -> dict:
@@ -165,14 +161,23 @@ def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
         with open(os.path.join(ckpt_dir, name), "w") as f:
             f.write("ok")
 
+    stage_t: dict[str, float] = {}
+    t_stage = time.time()
+
+    def lap(name: str):
+        nonlocal t_stage
+        stage_t[name] = round(time.time() - t_stage, 2)
+        t_stage = time.time()
+
     docs = (assign_doc_ids(tx)
             .withColumn("toks", A.tokens_col(F.col("text")))
             .withColumn("kw", F.array_join("toks", " "))
             .where(F.size("toks") > 0)
             .withColumn("dl", F.size("toks").cast("long")))
     docs.persist()
-    n_docs = docs.count()
-    avgdl = float(docs.agg(F.avg("dl")).collect()[0][0])
+    _st = docs.agg(F.count("*").alias("n"), F.avg("dl").alias("a")).collect()[0]
+    n_docs, avgdl = int(_st["n"]), float(_st["a"])
+    lap("ids_and_stats")
 
     # -- stage 2: doc_store + corpus stats ---------------------------------
     if not done("stage_docs.done"):
@@ -186,6 +191,7 @@ def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
                        "n_buckets": n_buckets, "block_size": block_size,
                        "with_positions": with_positions}, f)
         mark("stage_docs.done")
+    lap("doc_store")
 
     # -- stage 3: partial postings (THE shuffle), bucket-partitioned -------
     tf_path = os.path.join(seg_dir, "tf_partial")
@@ -200,6 +206,7 @@ def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
         (tf.repartition(n_buckets, "bucket")
            .write.mode("overwrite").partitionBy("bucket").parquet(tf_path))
         mark("stage_tf.done")
+    lap("tf_partial")
     docs.unpersist()
 
     tf_stored = spark.read.parquet(tf_path)
@@ -224,6 +231,7 @@ def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
            .write.mode("overwrite").partitionBy("bucket")
            .parquet(term_dict_path))
         mark("stage_termdict.done")
+    lap("term_dict")
 
     term_df = spark.read.parquet(term_dict_path).select("term", "bucket", "df")
 
@@ -248,6 +256,7 @@ def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
                .write.mode("overwrite").partitionBy("bucket")
                .parquet(os.path.join(postings_path, f"group={gi}")))
         mark(f"group_{gi}.done")
+        lap(f"encode_g{gi}")
         built_groups += 1
         if fail_after_group >= 0 and built_groups >= fail_after_group:
             raise RuntimeError(f"injected failure after group {gi}")
@@ -265,6 +274,7 @@ def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
         "build_sec": elapsed, "turns_per_sec": n_docs / max(elapsed, 1e-9),
         "skew_ratio": float(max(dfs)) / max(float(np.mean(dfs)), 1e-9),
         "groups_built": built_groups, "resumed": resume,
+        "stage_sec": json.dumps(stage_t),
     }
     pd.DataFrame([metrics]).to_parquet(os.path.join(seg_dir, "metrics.parquet"))
     pd.DataFrame([{"group": gi, "buckets": json.dumps(g),

@@ -127,3 +127,67 @@ def decode_positions(pos_bin: bytes, tfs: np.ndarray) -> np.ndarray:
     starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
     base = np.repeat(csum[starts] - gaps[starts], tfs)
     return csum - base
+
+
+def varbyte_lengths(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length of each value (vectorized)."""
+    v = np.asarray(values, dtype=np.uint64)
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        mask = tmp > 0
+        if not mask.any():
+            break
+        nbits[mask] += 1
+        tmp >>= np.uint64(7)
+    return np.maximum(nbits, 1)
+
+
+def encode_blocks(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
+                  flat_positions: np.ndarray | None,
+                  block_size: int) -> dict:
+    """Vectorized multi-block encode of one (term[, salt]) posting group.
+
+    One varbyte pass over the whole group per stream, then slicing at block
+    boundaries — no per-block Python loop. Delta chains restart at each
+    block start (docs) / each doc start (positions), so blocks decode
+    independently.
+
+    Returns dict of lists (one element per block): docs_bin, tfs_bin,
+    dls_bin, pos_bin, n_docs, first_doc, last_doc.
+    """
+    n = len(doc_ids)
+    starts = np.arange(0, n, block_size)
+    ends = np.minimum(starts + block_size, n)
+
+    gaps = np.empty(n, dtype=np.int64)
+    gaps[0] = doc_ids[0]
+    np.subtract(doc_ids[1:], doc_ids[:-1], out=gaps[1:])
+    gaps[starts] = doc_ids[starts]          # restart chain per block
+
+    def sliced(stream: np.ndarray, bounds_starts, bounds_ends) -> list[bytes]:
+        lens = varbyte_lengths(stream)
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        buf = varbyte_encode(stream)
+        return [buf[offs[s]:offs[e]] for s, e in zip(bounds_starts, bounds_ends)]
+
+    out = {
+        "docs_bin": sliced(gaps, starts, ends),
+        "tfs_bin": sliced(np.asarray(tfs, np.int64), starts, ends),
+        "dls_bin": sliced(np.asarray(dls, np.int64), starts, ends),
+        "n_docs": (ends - starts).tolist(),
+        "first_doc": doc_ids[starts].tolist(),
+        "last_doc": doc_ids[ends - 1].tolist(),
+    }
+    if flat_positions is not None:
+        tfs64 = np.asarray(tfs, np.int64)
+        pos = np.asarray(flat_positions, np.int64)
+        pgaps = np.empty(pos.shape, dtype=np.int64)
+        if pos.size:
+            pgaps[0] = pos[0]
+            np.subtract(pos[1:], pos[:-1], out=pgaps[1:])
+            doc_starts = np.concatenate(([0], np.cumsum(tfs64)[:-1]))
+            pgaps[doc_starts] = pos[doc_starts]   # restart per doc
+        pos_bounds = np.concatenate(([0], np.cumsum(tfs64)))
+        out["pos_bin"] = sliced(pgaps, pos_bounds[starts], pos_bounds[ends])
+    return out

@@ -150,6 +150,11 @@ def bm25_scores(spark: SparkSession, out_dir: str, query: str, *,
     return agg
 
 
+#: below this many candidate blocks the θ-sampling pass costs more than the
+#: decode it saves; pruning auto-disables (results identical either way)
+WAND_MIN_BLOCKS = 512
+
+
 def bm25_topk(spark: SparkSession, out_dir: str, query: str, k: int = 20, *,
               require_all: bool = False, prune: bool = True,
               hydrate: bool = True) -> DataFrame:
@@ -163,6 +168,8 @@ def bm25_topk(spark: SparkSession, out_dir: str, query: str, k: int = 20, *,
     blocks = _load_blocks(spark, idx, terms)
     blocks.persist()
     try:
+        if prune and blocks.count() < WAND_MIN_BLOCKS:
+            prune = False
         if prune:
             stats = {r["term"]: float(r["max_score_ub"]) for r in
                      _term_stats(spark, idx, terms).collect()}

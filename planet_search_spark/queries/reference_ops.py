@@ -1,0 +1,351 @@
+"""Transcript/event analogues of the reference's Java-side dataflow
+operators (SURVEY.md §2A), each as a (Spark, DuckDB-oracle) pair.
+
+| here                  | reference operator                                  |
+|-----------------------|-----------------------------------------------------|
+| coalesce_into_map     | A3 CoalesceIntoMap (PlanetSearchProfile.java:102-111)|
+| multivalue_split      | A4 ;-split + trim + distinct (:119-136)             |
+| classifier            | A6 case-when classifier (OsmFeatureClassifier.java:80-249)|
+| prominence            | A7 scalar scoring (ProminenceCalculator.java:14-30) |
+| number_parsing        | A8 dirty-number parse (OsmNumberParser.java:17-62)  |
+| conv_merge            | A10 group-by-key merge (MinWayIdFinder.java:27-84)  |
+| conv_cogroup          | A11 relation co-group w/ sum+min_by (:259-310,:407-448)|
+| container_minby       | A13 min-by/arg-min (:725-737)                       |
+| name_set_union        | A14 set-union agg (:727-739)                        |
+| area_normalize        | A16 log-normalize (:672-678)                        |
+| stable_turn_order     | window: stable turn ordering / dense doc ids (§2C)  |
+| source_union          | set op: union of sources (MainClass.java:91-94)     |
+| recency_window_boost  | B24 viewport/time-window boost (points_search.json:145-157)|
+"""
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .. import scoring as S
+from ..transcripts import TRANSCRIPTS_CTE, transcripts_from_documents
+from .logical import _register
+
+# -- A3: first-non-empty coalesce of tag variants into a map -----------------
+# analogue: per conversation, coalesce the first non-empty text per role into
+# a role->snippet map (the reference coalesces name:<lang> variants).
+
+
+@_register("coalesce_into_map", f"""
+WITH {TRANSCRIPTS_CTE.strip()},
+firsts AS (
+  SELECT conv_id, role, min(turn_idx) AS first_turn
+  FROM transcripts WHERE length(trim(text)) > 0
+  GROUP BY conv_id, role
+)
+SELECT f.conv_id, f.role, CAST(f.first_turn AS BIGINT) AS first_turn,
+       substr(t.text, 1, 40) AS snippet
+FROM firsts f
+JOIN transcripts t
+  ON t.conv_id = f.conv_id AND t.role = f.role AND t.turn_idx = f.first_turn
+""")
+def q_coalesce_into_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tx = transcripts_from_documents(spark, sf_dir)
+    nz = tx.where(F.length(F.trim("text")) > 0)
+    firsts = nz.groupBy("conv_id", "role").agg(
+        F.min("turn_idx").alias("first_turn"))
+    return (firsts.join(
+        nz.select("conv_id", "role",
+                  F.col("turn_idx").alias("first_turn"), "text"),
+        ["conv_id", "role", "first_turn"])
+        .select("conv_id", "role",
+                F.col("first_turn").cast("long").alias("first_turn"),
+                F.substring("text", 1, 40).alias("snippet")))
+
+
+# -- A4: multi-value split + trim + distinct ---------------------------------
+
+@_register("multivalue_split", """
+SELECT doc_id,
+       array_to_string(list_sort(list_distinct(
+         list_filter(list_transform(string_split(text, ' the '), x -> trim(x)),
+                     x -> length(x) > 0))), '|') AS alt_values
+FROM documents
+""")
+def q_multivalue_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vals = F.array_sort(F.array_distinct(
+        F.filter(F.transform(F.split("text", " the "), F.trim),
+                 lambda x: F.length(x) > 0)))
+    return docs.select("doc_id", F.array_join(vals, "|").alias("alt_values"))
+
+
+# -- A6: case-when classifier (the 50-way enum analogue) ----------------------
+
+@_register("classifier", """
+SELECT event_id,
+       CASE
+         WHEN event_type = 'error' AND value >= 100 THEN 'critical-error'
+         WHEN event_type = 'error' THEN 'error'
+         WHEN event_type = 'purchase' AND value >= 50 THEN 'big-purchase'
+         WHEN event_type = 'purchase' THEN 'purchase'
+         WHEN event_type IN ('click', 'view') AND value < 10 THEN 'low-engagement'
+         WHEN event_type IN ('click', 'view') THEN 'engagement'
+         WHEN event_type = 'signup' THEN 'conversion'
+         ELSE 'other'
+       END AS feature_class,
+       CASE
+         WHEN event_type = 'error' AND value >= 100 THEN 0.9
+         WHEN event_type = 'error' THEN 0.7
+         WHEN event_type = 'purchase' AND value >= 50 THEN 0.8
+         WHEN event_type = 'purchase' THEN 0.6
+         WHEN event_type IN ('click', 'view') AND value < 10 THEN 0.1
+         WHEN event_type IN ('click', 'view') THEN 0.3
+         WHEN event_type = 'signup' THEN 0.75
+         ELSE 0.0
+       END AS base_score
+FROM events
+""")
+def q_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    et, v = F.col("event_type"), F.col("value")
+    cls = (F.when((et == "error") & (v >= 100), "critical-error")
+            .when(et == "error", "error")
+            .when((et == "purchase") & (v >= 50), "big-purchase")
+            .when(et == "purchase", "purchase")
+            .when(et.isin("click", "view") & (v < 10), "low-engagement")
+            .when(et.isin("click", "view"), "engagement")
+            .when(et == "signup", "conversion")
+            .otherwise("other"))
+    score = (F.when((et == "error") & (v >= 100), 0.9)
+              .when(et == "error", 0.7)
+              .when((et == "purchase") & (v >= 50), 0.8)
+              .when(et == "purchase", 0.6)
+              .when(et.isin("click", "view") & (v < 10), 0.1)
+              .when(et.isin("click", "view"), 0.3)
+              .when(et == "signup", 0.75)
+              .otherwise(0.0))
+    return ev.select("event_id", cls.alias("feature_class"),
+                     score.alias("base_score"))
+
+
+# -- A7: prominence formula (floor + weighted base/log-norm/meta, clamped) ----
+
+_LOG1P_200 = repr(math.log1p(200.0))
+
+
+@_register("prominence", f"""
+SELECT event_id,
+       {S.SQL_QUANTIZE.format(x=(
+           "least(1.0, greatest(0.05, 0.05"
+           " + 0.45 * (CASE event_type WHEN 'purchase' THEN 1.0"
+           "            WHEN 'signup' THEN 0.8 WHEN 'error' THEN 0.4"
+           "            ELSE 0.2 END)"
+           f" + 0.40 * least(1.0, ln(1.0 + greatest(value, 0.0)) / {_LOG1P_200})"
+           " + 0.10 * (CASE WHEN user_id % 2 = 0 THEN 1.0 ELSE 0.0 END)))"
+       ))} AS prominence_q
+FROM events
+""")
+def q_prominence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = (F.when(F.col("event_type") == "purchase", 1.0)
+             .when(F.col("event_type") == "signup", 0.8)
+             .when(F.col("event_type") == "error", 0.4)
+             .otherwise(0.2))
+    lognorm = F.least(F.lit(1.0),
+                      F.log(F.lit(1.0) + F.greatest(F.col("value"), F.lit(0.0)))
+                      / F.lit(math.log1p(200.0)))
+    meta = F.when(F.col("user_id") % 2 == 0, 1.0).otherwise(0.0)
+    raw = F.lit(0.05) + 0.45 * base + 0.40 * lognorm + 0.10 * meta
+    prom = F.least(F.lit(1.0), F.greatest(F.lit(0.05), raw))
+    return ev.select("event_id", S.quantize(prom).alias("prominence_q"))
+
+
+# -- A8: dirty-number parsing (first number in a string, with default) --------
+
+@_register("number_parsing", """
+SELECT event_id,
+       CAST(coalesce(try_cast(regexp_extract(props, '-?[0-9]+', 0) AS BIGINT),
+                     -1) AS BIGINT) AS parsed_k
+FROM events
+""")
+def q_number_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    num = F.regexp_extract("props", r"-?[0-9]+", 0)
+    return ev.select(
+        "event_id",
+        F.coalesce(num.try_cast("long"), F.lit(-1)).alias("parsed_k"))
+
+
+# -- A10: group-by-key ordered merge (linestring-merge analogue) --------------
+# merge each conversation's turns, in turn order, into one document;
+# aggregate min turn id + summed length (MinWayIdFinder: min(id)+sum(length)).
+
+@_register("conv_merge", f"""
+WITH {TRANSCRIPTS_CTE.strip()}
+SELECT conv_id,
+       CAST(min(turn_idx) AS BIGINT) AS min_turn,
+       CAST(sum(length(text)) AS BIGINT) AS total_len,
+       md5(string_agg(text, chr(30) ORDER BY turn_idx)) AS merged_hash
+FROM transcripts
+GROUP BY conv_id
+""")
+def q_conv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tx = transcripts_from_documents(spark, sf_dir)
+    merged = F.array_join(
+        F.transform(F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+                    lambda s: s["text"]), "\x1e")
+    return (tx.groupBy("conv_id")
+            .agg(F.min("turn_idx").cast("long").alias("min_turn"),
+                 F.sum(F.length("text")).cast("long").alias("total_len"),
+                 F.md5(merged).alias("merged_hash")))
+
+
+# -- A11: co-group completeness check (relation-membership analogue) ----------
+# a conversation is "complete" when its turn_idx set is exactly 0..max gap-free
+# (the reference counts down member ways until a relation is complete).
+
+@_register("conv_cogroup", f"""
+WITH {TRANSCRIPTS_CTE.strip()}
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(max(turn_idx) AS BIGINT) AS max_turn,
+       (count(*) = max(turn_idx) + 1
+        AND count(DISTINCT turn_idx) = count(*)) AS complete
+FROM transcripts
+GROUP BY conv_id
+""")
+def q_conv_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tx = transcripts_from_documents(spark, sf_dir)
+    return (tx.groupBy("conv_id")
+            .agg(F.count("*").cast("long").alias("n_turns"),
+                 F.max("turn_idx").cast("long").alias("max_turn"),
+                 ((F.count("*") == F.max("turn_idx") + 1)
+                  & (F.count_distinct("turn_idx") == F.count("*")))
+                 .alias("complete")))
+
+
+# -- A13: min-by / arg-min per group (tightest container analogue) ------------
+
+@_register("container_minby", """
+SELECT user_id,
+       CAST(min_by(event_id, value) AS BIGINT) AS cheapest_event,
+       min(value) AS min_value
+FROM events
+GROUP BY user_id
+""")
+def q_container_minby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.groupBy("user_id")
+            .agg(F.min_by("event_id", "value").cast("long")
+                 .alias("cheapest_event"),
+                 F.min("value").alias("min_value")))
+
+
+# -- A14: ordered distinct set-union aggregation ------------------------------
+
+@_register("name_set_union", """
+SELECT user_id,
+       array_to_string(list_sort(list_distinct(list(event_type))), '|')
+         AS event_types
+FROM events GROUP BY user_id
+""")
+def q_name_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.groupBy("user_id")
+            .agg(F.array_join(
+                F.array_sort(F.array_distinct(F.collect_list("event_type"))),
+                "|").alias("event_types")))
+
+
+# -- A16: area normalization log1p(x)/log1p(cap), clamped ---------------------
+
+_LOG1P_CAP = repr(math.log1p(1e4))
+
+
+@_register("area_normalize", f"""
+SELECT event_id,
+       {S.SQL_QUANTIZE.format(
+           x=f"least(1.0, ln(1.0 + greatest(value, 0.0)) / {_LOG1P_CAP})")}
+       AS value_norm_q
+FROM events
+""")
+def q_area_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    norm = F.least(F.lit(1.0),
+                   F.log(F.lit(1.0) + F.greatest(F.col("value"), F.lit(0.0)))
+                   / F.lit(math.log1p(1e4)))
+    return ev.select("event_id", S.quantize(norm).alias("value_norm_q"))
+
+
+# -- window: stable turn ordering (dense per-conversation sequence) -----------
+
+@_register("stable_turn_order", f"""
+WITH {TRANSCRIPTS_CTE.strip()}
+SELECT conv_id, turn_idx,
+       CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+            AS BIGINT) AS seq,
+       CAST(lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+            AS BIGINT) AS prev_turn
+FROM transcripts
+""")
+def q_stable_turn_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tx = transcripts_from_documents(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return tx.select(
+        "conv_id", "turn_idx",
+        F.row_number().over(w).cast("long").alias("seq"),
+        F.lag("turn_idx").over(w).cast("long").alias("prev_turn"))
+
+
+# -- set op: union of two sources (OSM + GeoJSON analogue) --------------------
+
+@_register("source_union", f"""
+WITH {TRANSCRIPTS_CTE.strip()},
+src_a AS (
+  SELECT conv_id, turn_idx, text, 'transcript' AS src FROM transcripts
+),
+src_b AS (
+  SELECT printf('ev_%d', user_id) AS conv_id,
+         CAST(event_id AS INT) AS turn_idx,
+         event_type AS text, 'event' AS src
+  FROM events
+)
+SELECT src, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_groups
+FROM (SELECT * FROM src_a UNION ALL SELECT * FROM src_b)
+GROUP BY src
+""")
+def q_source_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tx = transcripts_from_documents(spark, sf_dir) \
+        .select("conv_id", "turn_idx", "text", F.lit("transcript").alias("src"))
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.format_string("ev_%d", F.col("user_id")).alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.col("event_type").alias("text"),
+        F.lit("event").alias("src"))
+    u = tx.unionByName(ev)
+    return u.groupBy("src").agg(
+        F.count("*").cast("long").alias("n"),
+        F.count_distinct("conv_id").cast("long").alias("n_groups"))
+
+
+# -- B24: time-window boost (viewport-box analogue) ---------------------------
+
+@_register("recency_window_boost", f"""
+WITH {TRANSCRIPTS_CTE.strip()}
+SELECT conv_id, turn_idx,
+       {S.SQL_QUANTIZE.format(
+           x="CASE WHEN ts >= TIMESTAMP '2026-01-01 01:00:00'"
+             " AND ts < TIMESTAMP '2026-01-01 05:00:00'"
+             " THEN 0.15 ELSE 0.0 END")} AS boost_q
+FROM transcripts
+WHERE ts >= TIMESTAMP '2026-01-01 01:00:00'
+  AND ts < TIMESTAMP '2026-01-01 05:00:00'
+""")
+def q_recency_window_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tx = transcripts_from_documents(spark, sf_dir)
+    in_win = (F.col("ts") >= F.lit("2026-01-01 01:00:00").cast("timestamp")) \
+        & (F.col("ts") < F.lit("2026-01-01 05:00:00").cast("timestamp"))
+    return (tx.where(in_win)
+            .select("conv_id", "turn_idx",
+                    S.quantize(F.when(in_win, 0.15).otherwise(0.0))
+                     .alias("boost_q")))

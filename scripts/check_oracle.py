@@ -13,6 +13,7 @@ sys.path.insert(0, ".")
 import planet_search_spark.ann  # noqa: E402,F401 — registers ANN queries
 import planet_search_spark.multimodal  # noqa: F401,E402 — registers multimodal plumbing
 import planet_search_spark.textops  # noqa: E402,F401 — registers training ops
+import planet_search_spark.queries.reference_ops  # noqa: F401,E402 — registers §2A analogues
 from planet_search_spark.queries.logical import QUERIES  # noqa: E402
 from planet_search_spark.session import get_spark  # noqa: E402
 

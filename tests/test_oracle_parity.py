@@ -7,6 +7,7 @@ import pytest
 import planet_search_spark.ann  # noqa: F401 — registers ANN queries
 import planet_search_spark.multimodal  # noqa: F401 — registers multimodal
 import planet_search_spark.textops  # noqa: F401 — registers training ops
+import planet_search_spark.queries.reference_ops  # noqa: F401,E402 — registers §2A analogues
 from planet_search_spark.queries.logical import QUERIES
 from tests.conftest import SF_TINY, assert_frames_match
 

@@ -1,0 +1,54 @@
+"""Physical-plan guards: the scale properties must be visible in the plan —
+partition pruning on bucket directories, term predicate pushdown to the
+parquet scan, broadcast joins for small dimensions. These are the
+`.explain("formatted")` checks the 100 TB design depends on."""
+from __future__ import annotations
+
+import pytest
+
+from planet_search_spark.queries import engine as E
+from planet_search_spark.indexing.build import build_index
+from planet_search_spark.transcripts import synthesize_transcripts
+
+
+@pytest.fixture(scope="module")
+def small_index(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("planidx"))
+    build_index(spark, synthesize_transcripts(spark, n_convs=20), out,
+                n_buckets=8, n_groups=1)
+    return out
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_postings_scan_prunes_buckets_and_pushes_terms(spark, small_index):
+    idx = E.open_index(small_index)
+    blocks = E._load_blocks(spark, idx, ["error", "timeout"])
+    plan = _plan(blocks)
+    assert "PartitionFilters" in plan
+    # bucket partition filter is present and non-trivial
+    assert "bucket" in plan.split("PartitionFilters", 1)[1][:200]
+    assert "PushedFilters: [In(term" in plan
+
+
+def test_bm25_scores_uses_broadcast_joins(spark, small_index):
+    df = E.bm25_scores(spark, small_index, "error timeout")
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan, "small dims must broadcast, not SMJ"
+
+
+def test_topk_is_take_ordered(spark, small_index):
+    df = E.bm25_topk(spark, small_index, "error timeout", k=5,
+                     prune=False, hydrate=False)
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_logical_bm25_pushes_term_filter_to_scan(spark):
+    """The inline path must push the isin(term) filter below the tf agg."""
+    from planet_search_spark.queries.logical import QUERIES
+    fn, _ = QUERIES["bm25_or"]
+    plan = _plan(fn(spark, "/root/testdata/sf0.001"))
+    assert "PushedFilters" in plan
