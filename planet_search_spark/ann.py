@@ -155,3 +155,42 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.desc("sim_q"), "vec_id")
     return top.withColumn("rank", F.row_number().over(w)) \
               .select("rank", "vec_id", "sim_q")
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate detection (IVF-bucket blocking)
+# ---------------------------------------------------------------------------
+
+NEARDUP_TAU = 0.35
+
+
+@_register("embedding_neardup", f"""
+WITH {_SQL_ASSIGN.strip()},
+buckets AS (
+  SELECT a.vec_id, a.centroid_id, e.embedding
+  FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+  WHERE a.rn = 1
+),
+cand AS (
+  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         {S.SQL_QUANTIZE.format(x=_SQL_COSINE.format(a='x.embedding', b='y.embedding'))} AS sim_q
+  FROM buckets x JOIN buckets y
+    ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+)
+SELECT vec_a, vec_b, sim_q FROM cand
+WHERE sim_q >= {int(NEARDUP_TAU * 10000)}
+""")
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate vectors: IVF bucket assignment as the blocking step
+    (same-bucket pairs only — the candidate-generation pattern that scales:
+    at 100 TB the cross join never happens, only per-bucket self-joins),
+    then exact quantized cosine >= tau."""
+    assigned = _ivf_assignments(spark, sf_dir)
+    x, y = assigned.alias("x"), assigned.alias("y")
+    pairs = (x.join(y, (F.col("x.centroid_id") == F.col("y.centroid_id"))
+                    & (F.col("x.vec_id") < F.col("y.vec_id")))
+             .select(F.col("x.vec_id").alias("vec_a"),
+                     F.col("y.vec_id").alias("vec_b"),
+                     S.quantize(cosine(F.col("x.embedding"),
+                                       F.col("y.embedding"))).alias("sim_q")))
+    return pairs.where(F.col("sim_q") >= int(NEARDUP_TAU * 10000))

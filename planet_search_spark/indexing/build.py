@@ -79,7 +79,12 @@ def assign_doc_ids(tx: DataFrame, num_partitions: int = 0) -> DataFrame:
     with per-partition offsets from one cheap count job.
     """
     spark = tx.sparkSession
-    num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+    # over-partition relative to cores: downstream stages explode each doc
+    # ~dl times, so per-task memory is bounded by range-slice size, not by
+    # core count (a lone 8-core executor must not sort 1/8th of the corpus
+    # in one task)
+    num_partitions = num_partitions or max(
+        4 * spark.sparkContext.defaultParallelism, 32)
     part = (tx.repartitionByRange(num_partitions, "conv_id", "turn_idx")
               .sortWithinPartitions("conv_id", "turn_idx")
               .withColumn("_pid", F.spark_partition_id()))
@@ -103,40 +108,67 @@ def assign_doc_ids(tx: DataFrame, num_partitions: int = 0) -> DataFrame:
     return out
 
 
-def _encode_group_fn(n: float, avgdl: float, block_size: int):
-    """applyInPandas over one (bucket, term, salt) posting group -> blocks."""
+def _encode_stream_fn(n: float, avgdl: float, block_size: int):
+    """mapInPandas over partitions pre-sorted by (term, salt, doc_id):
+    encodes MANY (term, salt) groups per Arrow batch fully vectorized
+    (codec.encode_blocks_multi) — no per-group pandas materialization, so a
+    million singleton terms costs the same as one hot term of equal mass.
+
+    Groups can span Arrow batches within a partition; the trailing
+    (term, salt) group of each batch is carried into the next. The carry is
+    bounded by salt_target rows by construction (hot terms are salted).
+    """
     k1, b = S.K1, S.B
 
-    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
+    def encode_body(pdf: pd.DataFrame):
         doc_ids = pdf["doc_id"].to_numpy(np.int64)
         tfs = pdf["tf"].to_numpy(np.int64)
         dls = pdf["dl"].to_numpy(np.int64)
-        blocks = codec.encode_blocks(doc_ids, tfs, dls, None, block_size)
-        nb = len(blocks["docs_bin"])
-        df_ = float(pdf["df"].iloc[0])
-        idf = math.log(1.0 + (n - df_ + 0.5) / (df_ + 0.5))
+        dfs = pdf["df"].to_numpy(np.float64)
+        terms = pdf["term"].to_numpy()
+        salts = pdf["salt"].to_numpy(np.int64)
+        gs = np.ones(len(pdf), dtype=bool)
+        gs[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
+        blocks = codec.encode_blocks_multi(doc_ids, tfs, dls, gs, block_size)
+        rs = blocks["row_start"]
+        idf = np.log(1.0 + (n - dfs + 0.5) / (dfs + 0.5))
         scores = idf * tfs / (tfs + k1 * (1 - b + b * dls / avgdl))
-        starts = np.arange(0, len(doc_ids), block_size)
-        salt = int(pdf["salt"].iloc[0])
         return pd.DataFrame({
-            "bucket": np.repeat(int(pdf["bucket"].iloc[0]), nb),
-            "term": np.repeat(pdf["term"].iloc[0], nb),
-            "block_id": salt * 1_000_000 + np.arange(nb, dtype=np.int64),
-            "n_docs": np.asarray(blocks["n_docs"], np.int32),
-            "first_doc": np.asarray(blocks["first_doc"], np.int64),
-            "last_doc": np.asarray(blocks["last_doc"], np.int64),
-            "max_score": np.maximum.reduceat(scores, starts),
+            "bucket": pdf["bucket"].to_numpy(np.int32)[rs],
+            "term": terms[rs],
+            "block_id": salts[rs] * 1_000_000 + blocks["seq"],
+            "n_docs": blocks["n_docs"],
+            "first_doc": blocks["first_doc"],
+            "last_doc": blocks["last_doc"],
+            "max_score": np.maximum.reduceat(scores, rs),
             # per-block (max_tf, min_dl): lets multi-segment readers
             # recompute a valid WAND bound under *global* corpus stats
-            "max_tf": np.maximum.reduceat(tfs, starts).astype(np.float64),
-            "min_dl": np.minimum.reduceat(dls, starts).astype(np.float64),
+            "max_tf": np.maximum.reduceat(tfs, rs).astype(np.float64),
+            "min_dl": np.minimum.reduceat(dls, rs).astype(np.float64),
             "docs_bin": blocks["docs_bin"],
             "tfs_bin": blocks["tfs_bin"],
             "dls_bin": blocks["dls_bin"],
         })
 
-    return encode
+    def gen(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                carry = None
+                continue
+            last_t = pdf["term"].iloc[-1]
+            last_s = pdf["salt"].iloc[-1]
+            tail = (pdf["term"] == last_t) & (pdf["salt"] == last_s)
+            carry = pdf[tail]
+            body = pdf[~tail]
+            if len(body):
+                yield encode_body(body)
+        if carry is not None and len(carry):
+            yield encode_body(carry)
+
+    return gen
 
 
 
@@ -181,7 +213,6 @@ def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
     base = ids.withColumn("doc_id", F.col("doc_id") + F.lit(doc_base))
     docs = (base
             .withColumn("toks", A.tokens_col(F.col("text")))
-            .withColumn("kw", F.array_join("toks", " "))
             .where(F.size("toks") > 0)
             .withColumn("dl", F.size("toks").cast("long")))
     lap("ids")
@@ -190,8 +221,11 @@ def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
     #    (column-pruned dl scan — no extra tokenize pass, no object cache)
     doc_store_path = os.path.join(seg_dir, "doc_store")
     if not done("stage_docs.done"):
+        # kw_hash, not the raw keyword string: exact-match semantics only
+        # need equality, and the md5 keeps doc_store narrow at 10^12 turns
         (docs.select(
-            "doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "dl", "kw",
+            "doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "dl",
+            F.md5(F.array_join("toks", " ")).alias("kw_hash"),
             S.static_prior(F.col("role"), F.col("dl").cast("double"),
                            F.col("tool")).alias("prior"))
          .write.mode("overwrite").parquet(doc_store_path))
@@ -223,7 +257,10 @@ def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
         "doc_id", "dl", F.posexplode("toks").alias("pos", "term")) \
         .withColumn("bucket", bucket_col(F.col("term"), n_buckets))
     if with_positions and not done("stage_pos.done"):
-        (exploded.repartition(n_buckets, "bucket")
+        # direct dynamic-partition write — Spark sorts rows by bucket within
+        # each task, so no shuffle at all for the positions table; the tf
+        # groupBy below is then the build's only wide operation
+        (exploded
          .write.mode("overwrite").partitionBy("bucket").parquet(pos_path))
         mark("stage_pos.done")
     lap("pos_partial")
@@ -268,26 +305,36 @@ def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
     lap("term_dict")
 
     term_df = spark.read.parquet(term_dict_path).select("term", "bucket", "df")
+    # a planet-scale term dictionary must NOT be force-broadcast: join
+    # strategy flips to shuffle join past a size threshold (both sides are
+    # bucket-pruned per group job, so the shuffle is per-bucket-group only)
+    n_terms_total = term_df.count()
+    broadcast_terms = n_terms_total <= 2_000_000 // max(n_groups, 1)
 
     # -- stage 5: salted block encode, per bucket-group jobs ----------------
     groups = [sorted(range(n_buckets))[i::n_groups] for i in range(n_groups)]
     postings_path = os.path.join(seg_dir, "postings")
-    enc = _encode_group_fn(float(n_docs), avgdl, block_size)
+    enc = _encode_stream_fn(float(n_docs), avgdl, block_size)
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     built_groups = 0
     for gi, buckets in enumerate(groups):
         if done(f"group_{gi}.done"):
             continue
+        dim = term_df.where(F.col("bucket").isin(buckets)).drop("bucket")
+        if broadcast_terms:
+            dim = F.broadcast(dim)
         part = (tf_stored.where(F.col("bucket").isin(buckets))  # partition pruning
-                .join(F.broadcast(term_df.where(F.col("bucket").isin(buckets))
-                                  .drop("bucket")), "term")
+                .join(dim, "term")
                 .withColumn("nsalt", F.greatest(
                     F.lit(1), F.ceil(F.col("df") / F.lit(float(salt_target)))
                 ).cast("int"))
                 .withColumn("salt", (F.col("doc_id") % F.col("nsalt")).cast("int")))
-        blocks = part.groupBy("bucket", "term", "salt").applyInPandas(
-            enc, schema=POSTINGS_SCHEMA)
-        (blocks.repartition(len(buckets), "bucket")
-               .write.mode("overwrite").partitionBy("bucket")
+        # the merge shuffle: co-locate each (term, salt) group, stream-sorted
+        blocks = (part.repartition(max(n_shuffle // n_groups, len(buckets)),
+                                   "term", "salt")
+                  .sortWithinPartitions("term", "salt", "doc_id")
+                  .mapInPandas(enc, schema=POSTINGS_SCHEMA))
+        (blocks.write.mode("overwrite").partitionBy("bucket")
                .parquet(os.path.join(postings_path, f"group={gi}")))
         mark(f"group_{gi}.done")
         lap(f"encode_g{gi}")
@@ -297,16 +344,16 @@ def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
 
     # -- stage 6: metrics + lineage + atomic publish ------------------------
     elapsed = time.time() - t0
-    n_terms = term_df.count()
     post_bytes = sum(
         os.path.getsize(os.path.join(dp, fn))
         for dp, _, fns in os.walk(postings_path) for fn in fns)
-    dfs = [r["df"] for r in term_df.select("df").collect()] or [1.0]
+    # skew ratio computed distributed — never collect the term dict
+    _sk = term_df.agg(F.max("df").alias("mx"), F.avg("df").alias("av")).collect()[0]
     metrics = {
         "segment": segment, "n_docs": n_docs, "avgdl": avgdl,
-        "n_terms": n_terms, "postings_bytes": post_bytes,
+        "n_terms": n_terms_total, "postings_bytes": post_bytes,
         "build_sec": elapsed, "turns_per_sec": n_docs / max(elapsed, 1e-9),
-        "skew_ratio": float(max(dfs)) / max(float(np.mean(dfs)), 1e-9),
+        "skew_ratio": float(_sk["mx"]) / max(float(_sk["av"]), 1e-9),
         "groups_built": built_groups, "resumed": resume,
         "stage_sec": json.dumps(stage_t),
     }

@@ -191,3 +191,55 @@ def encode_blocks(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
         pos_bounds = np.concatenate(([0], np.cumsum(tfs64)))
         out["pos_bin"] = sliced(pgaps, pos_bounds[starts], pos_bounds[ends])
     return out
+
+
+def encode_blocks_multi(doc_ids: np.ndarray, tfs: np.ndarray,
+                        dls: np.ndarray, group_starts: np.ndarray,
+                        block_size: int) -> dict:
+    """Vectorized block encode over MANY groups at once.
+
+    Input rows must be sorted so each group is contiguous and doc_ids are
+    ascending within a group; ``group_starts`` is a boolean flag per row.
+    This is the many-tiny-terms-friendly form: no per-group Python at all —
+    one varbyte pass per stream, block boundaries at group starts and every
+    ``block_size`` rows within a group.
+
+    Returns per-block arrays plus ``row_start`` (the block's first row
+    index) and ``seq`` (the block's ordinal within its group).
+    """
+    n = len(doc_ids)
+    gidx = np.flatnonzero(group_starts)
+    glen = np.diff(np.append(gidx, n))
+    within = np.arange(n) - np.repeat(gidx, glen)
+    is_start = group_starts | (within % block_size == 0)
+    starts = np.flatnonzero(is_start)
+    ends = np.append(starts[1:], n)
+
+    gaps = np.empty(n, dtype=np.int64)
+    if n:
+        gaps[0] = doc_ids[0]
+        np.subtract(doc_ids[1:], doc_ids[:-1], out=gaps[1:])
+        gaps[starts] = doc_ids[starts]
+
+    def sliced(stream: np.ndarray) -> list[bytes]:
+        lens = varbyte_lengths(stream)
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        buf = varbyte_encode(stream)
+        return [buf[offs[s]:offs[e]] for s, e in zip(starts, ends)]
+
+    # ordinal of each block within its group
+    grp_of_block = np.searchsorted(gidx, starts, side="right") - 1
+    first_block_of_grp = np.searchsorted(starts, gidx)
+    seq = np.arange(len(starts)) - first_block_of_grp[grp_of_block]
+
+    return {
+        "row_start": starts,
+        "seq": seq,
+        "n_docs": (ends - starts).astype(np.int32),
+        "first_doc": doc_ids[starts],
+        "last_doc": doc_ids[ends - 1],
+        "docs_bin": sliced(gaps),
+        "tfs_bin": sliced(np.asarray(tfs, np.int64)),
+        "dls_bin": sliced(np.asarray(dls, np.int64)),
+        "reduce_starts": starts,
+    }

@@ -351,10 +351,13 @@ def search(spark: SparkSession, out_dir: str, params) -> DataFrame:
     if params.filter_tool:
         store = store.where(F.col("tool") == params.filter_tool)
 
+    import hashlib
+    q_kw_hash = hashlib.md5(q_kw.encode("utf-8")).hexdigest()
+
     if params.exact:
-        # points_search_exact: keyword equality, constant score 12,
+        # points_search_exact: keyword equality (by md5), constant score 12,
         # prominence (prior) tiebreak
-        out = (store.where(F.col("kw") == q_kw)
+        out = (store.where(F.col("kw_hash") == q_kw_hash)
                .select("doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
                        F.lit(12.0).alias("score"), F.col("prior"))
                .orderBy(F.desc("score"), F.desc("prior"), F.asc("doc_id"))
@@ -392,7 +395,8 @@ def search(spark: SparkSession, out_dir: str, params) -> DataFrame:
     joined = agg.join(store, "doc_id")  # inner join applies B17 filters
     final = (S2.saturation(F.col("bm25"))
              + F.lit(S2.W_PRIOR) * F.col("prior")
-             + F.when(F.col("kw") == q_kw, F.lit(S2.W_EXACT)).otherwise(F.lit(0.0)))
+             + F.when(F.col("kw_hash") == q_kw_hash,
+                      F.lit(S2.W_EXACT)).otherwise(F.lit(0.0)))
     if params.recency:
         final = final + S2.recency_decay(F.col("ts"), params.now_epoch)
     return (joined.withColumn("score", final)

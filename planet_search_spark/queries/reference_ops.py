@@ -349,3 +349,30 @@ def q_recency_window_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("conv_id", "turn_idx",
                     S.quantize(F.when(in_win, 0.15).otherwise(0.0))
                      .alias("boost_q")))
+
+
+# -- container-style conversation aggregation (bbox_container analogue) -------
+# Roll turn-level BM25 hits up to conversations (the "which container holds
+# these points" query, bbox_container.json): conversation score = max turn
+# score + 0.1 * matched-turn count; min_by gives the best turn.
+
+from .logical import _sql_bm25_scores, _bm25_scores, Q_TERMS  # noqa: E402
+
+
+@_register("conv_container_search", _sql_bm25_scores(Q_TERMS, False) + f"""
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns_matched,
+       {S.SQL_QUANTIZE.format(x='max(score) + 0.1 * count(*)')} AS conv_score_q,
+       CAST(min_by(turn_idx, -score) AS BIGINT) AS best_turn
+FROM scores
+GROUP BY conv_id
+""")
+def q_conv_container_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tx = transcripts_from_documents(spark, sf_dir)
+    scored = _bm25_scores(tx, Q_TERMS)
+    return (scored.groupBy("conv_id")
+            .agg(F.count("*").cast("long").alias("n_turns_matched"),
+                 S.quantize(F.max("score") + 0.1 * F.count("*"))
+                  .alias("conv_score_q"),
+                 F.min_by("turn_idx", -F.col("score")).cast("long")
+                  .alias("best_turn")))

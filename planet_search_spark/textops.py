@@ -335,3 +335,88 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles_df(docs)
     return sh.groupBy("doc_id").agg(
         F.min(F.md5("shingle")).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprint + banded near-dup (16-bit, tf-weighted)
+# ---------------------------------------------------------------------------
+# Frozen spec: token hash = first 15 md5 hex chars as int (60 bits, identical
+# via Spark conv() and DuckDB '0x' cast); simhash bit k (k=0..15) is 1 iff
+# sum over token OCCURRENCES of (2*((h>>k)&1) - 1) > 0.
+
+SIMHASH_BITS = 16
+
+
+def _spark_simhash(docs_with_toks: DataFrame) -> DataFrame:
+    tok = docs_with_toks.select(
+        "doc_id", F.explode("toks").alias("t"))
+    h = F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long")
+    tok = tok.withColumn("h", h)
+    aggs = [
+        F.sum(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) * 2 - 1)
+         .alias(f"b{k}")
+        for k in range(SIMHASH_BITS)]
+    g = tok.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for k in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"b{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return g.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def _sql_simhash(corpus_cte: str) -> str:
+    sums = ", ".join(
+        f"sum(((h >> {k}) & 1) * 2 - 1) AS b{k}" for k in range(SIMHASH_BITS))
+    bits = " + ".join(
+        f"(CASE WHEN b{k} > 0 THEN {1 << k} ELSE 0 END)"
+        for k in range(SIMHASH_BITS))
+    return f"""
+{corpus_cte}
+toks2 AS (
+  SELECT doc_id, unnest({A.sql_tokens_expr('text')}) AS t FROM corpus
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM toks2
+),
+grouped AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id),
+simhashes AS (SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM grouped)
+"""
+
+
+@_register("simhash", f"""
+WITH {_sql_simhash('corpus AS (SELECT doc_id, text FROM documents),').strip()}
+SELECT doc_id, simhash FROM simhashes
+""")
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", A.tokens_col(F.col("text")).alias("toks")) \
+        .where(F.size("toks") > 0)
+    return _spark_simhash(docs)
+
+
+@_register("simhash_neardup", f"""
+WITH {_sql_simhash(_SQL_NEARDUP_CORPUS.strip() + ',').strip()},
+banded AS (SELECT doc_id, simhash, simhash >> 8 AS band FROM simhashes),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+FROM pairs WHERE hamming <= 2
+""")
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _neardup_corpus(spark, sf_dir) \
+        .select("doc_id", A.tokens_col(F.col("text")).alias("toks")) \
+        .where(F.size("toks") > 0)
+    sims = _spark_simhash(corpus) \
+        .withColumn("band", F.shiftright("simhash", 8))
+    a, b = sims.alias("a"), sims.alias("b")
+    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"),
+                     F.bit_count(F.col("a.simhash").bitwiseXOR(
+                         F.col("b.simhash"))).cast("int").alias("hamming")))
+    return pairs.where(F.col("hamming") <= 2)
