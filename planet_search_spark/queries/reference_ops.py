@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .. import analysis as A
 from .. import scoring as S
 from ..transcripts import TRANSCRIPTS_CTE, transcripts_from_documents
 from .logical import _register
@@ -226,17 +227,21 @@ def q_conv_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- A13: min-by / arg-min per group (tightest container analogue) ------------
 
 @_register("container_minby", """
-SELECT user_id,
-       CAST(min_by(event_id, value) AS BIGINT) AS cheapest_event,
-       min(value) AS min_value
-FROM events
-GROUP BY user_id
+WITH m AS (SELECT user_id, min(value) AS mv FROM events GROUP BY user_id)
+SELECT e.user_id,
+       CAST(min(e.event_id) AS BIGINT) AS cheapest_event,
+       min(e.value) AS min_value
+FROM events e JOIN m ON e.user_id = m.user_id AND e.value = m.mv
+GROUP BY e.user_id
 """)
 def q_container_minby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # arg-min with a DETERMINISTIC tie-break: minimize (value, event_id) —
+    # bare min_by(event_id, value) picks an arbitrary winner on value ties
+    # (bit us at sf0.01), exactly the reference's min-area tie hazard
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (ev.groupBy("user_id")
-            .agg(F.min_by("event_id", "value").cast("long")
-                 .alias("cheapest_event"),
+            .agg(F.min_by("event_id", F.struct("value", "event_id"))
+                 .cast("long").alias("cheapest_event"),
                  F.min("value").alias("min_value")))
 
 
@@ -376,3 +381,66 @@ def q_conv_container_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("conv_score_q"),
                  F.min_by("turn_idx", -F.col("score")).cast("long")
                   .alias("best_turn")))
+
+
+# -- A9: broadcast hash-lookup join (QRank analogue, QRankLookup.java:80-94) --
+# small static dimension (tool -> popularity weight) broadcast onto turns;
+# like QRank, a missing key keeps the row (left join, default 0).
+
+TOOL_RANK = [("search", 120), ("code", 80), ("browse", 40)]
+
+
+@_register("broadcast_lookup", f"""
+WITH {TRANSCRIPTS_CTE.strip()},
+dim AS (SELECT * FROM (VALUES {', '.join(f"('{t}', {w})" for t, w in TOOL_RANK)})
+        AS d(tool, rank_weight))
+SELECT t.conv_id, t.turn_idx,
+       CAST(coalesce(d.rank_weight, 0) AS BIGINT) AS rank_weight
+FROM transcripts t LEFT JOIN dim d ON t.tool = d.tool
+""")
+def q_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tx = transcripts_from_documents(spark, sf_dir)
+    dim = spark.createDataFrame(TOOL_RANK, "tool string, rank_weight int")
+    return (tx.join(F.broadcast(dim), "tool", "left")
+            .select("conv_id", "turn_idx",
+                    F.coalesce(F.col("rank_weight"), F.lit(0))
+                     .cast("long").alias("rank_weight")))
+
+
+# -- B7: edge n-gram expansion (edge_ngram_2_15, ElasticsearchHelper.java:115-127)
+
+@_register("edge_ngram_expand", f"""
+WITH {TRANSCRIPTS_CTE.strip()},
+toks AS (
+  SELECT conv_id, turn_idx,
+         unnest(list_distinct({A.sql_tokens_expr('text')})) AS tok
+  FROM transcripts WHERE turn_idx = 0
+),
+grams AS (
+  SELECT conv_id, turn_idx, tok, substr(tok, 1, g) AS gram
+  FROM toks, unnest(range(2, least(length(tok), 15) + 1)) AS r(g)
+  WHERE length(tok) >= 2
+)
+SELECT conv_id, tok, gram FROM grams
+""")
+def q_edge_ngram_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tx = transcripts_from_documents(spark, sf_dir).where(F.col("turn_idx") == 0)
+    toks = tx.select("conv_id", "turn_idx",
+                     F.explode(F.array_distinct(
+                         A.tokens_col(F.col("text")))).alias("tok"))
+    return (toks.select("conv_id", "tok",
+                        F.explode(A.edge_ngrams_col(F.col("tok"))).alias("gram")))
+
+
+# -- JSON source parsing (GeoJSON-scan analogue, A2/MainClass.java:92-94) -----
+
+@_register("json_props_parse", """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k_value
+FROM events
+""")
+def q_json_props_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_value"))
