@@ -7,13 +7,13 @@ Prints ONE JSON line:
 Env:
   SPARK_GRAFT_SF_DIR      input dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS        local[N] (default 32)
-  SPARK_GRAFT_BENCH_SCALE replication factor for the build corpus
-                          (default 40 -> ~200k turns at sf0.1)
+  SPARK_GRAFT_BENCH_TURNS build corpus size (default 1,000,000 turns)
+  SPARK_GRAFT_TMP         temp root (use /dev/shm to exclude disk IO)
 
-The corpus is the deterministic documents->transcripts mapping, replicated
-SCALE times with distinct conv_ids (still fully deterministic, no external
-data) so the build measures real shuffle/encode throughput rather than
-Spark fixed overheads.
+The corpus is the deterministic documents->transcripts mapping replicated
+to BENCH_TURNS with md5-derived vocabulary enrichment (fully deterministic,
+no external data — see transcripts.replicated_enriched_corpus) so the build
+measures real shuffle/encode throughput on a realistic term dictionary.
 """
 from __future__ import annotations
 
@@ -24,43 +24,33 @@ import sys
 import tempfile
 import time
 
-from pyspark.sql import functions as F
-
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from planet_search_spark.indexing.build import build_index  # noqa: E402
 from planet_search_spark.queries import engine as E  # noqa: E402
 from planet_search_spark.queries.logical import QUERIES  # noqa: E402
 from planet_search_spark.session import get_spark  # noqa: E402
-from planet_search_spark.transcripts import transcripts_from_documents  # noqa: E402
-
-
-def replicated_corpus(spark, sf_dir: str, scale: int):
-    tx = transcripts_from_documents(spark, sf_dir)
-    if scale <= 1:
-        return tx
-    return (tx.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(scale - 1))))
-              .withColumn("conv_id", F.concat_ws("_", "conv_id", "rep"))
-              .drop("rep"))
+from planet_search_spark.transcripts import replicated_enriched_corpus  # noqa: E402
 
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    scale = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE", "40"))
+    n_turns = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "1000000"))
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark(app="bench", cores=cpus, shuffle_partitions=max(cpus, 32))
     timings: dict[str, float] = {}
-    tmp_root = os.environ.get("SPARK_GRAFT_TMP", tempfile.gettempdir())
+    tmp_root = os.environ.get(
+        "SPARK_GRAFT_TMP",
+        "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir())
     out_dir = tempfile.mkdtemp(prefix="psearch_idx_", dir=tmp_root)
     corpus_dir = tempfile.mkdtemp(prefix="psearch_corpus_", dir=tmp_root)
     try:
         # -- index build throughput (corpus materialized first: the build
         #    reads a table, as in production — replication isn't timed) -----
-        (replicated_corpus(spark, sf_dir, scale)
-         .repartition(max(cpus * 2, 16))
-         .write.mode("overwrite").parquet(f"{corpus_dir}/tx.parquet"))
-        corpus = spark.read.parquet(f"{corpus_dir}/tx.parquet")
+        corpus = replicated_enriched_corpus(
+            spark, sf_dir, n_turns, parallelism=max(cpus * 2, 16),
+            out_path=f"{corpus_dir}/tx.parquet")
         t0 = time.time()
         metrics = build_index(spark, corpus, out_dir, n_buckets=32,
                               n_groups=1, with_positions=True)
@@ -97,7 +87,7 @@ def main():
                       "n_terms": metrics["n_terms"],
                       "postings_bytes": metrics["postings_bytes"],
                       "skew_ratio": round(metrics["skew_ratio"], 2),
-                      "cpus": cpus, "scale": scale},
+                      "cpus": cpus, "n_turns_requested": n_turns},
         }))
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)

@@ -52,7 +52,7 @@ from . import codec
 POSTINGS_SCHEMA = (
     "bucket int, term string, block_id long, n_docs int, "
     "first_doc long, last_doc long, max_score double, "
-    "max_tf double, min_dl double, "
+    "max_tf double, min_dl double, min_tf double, max_dl double, "
     "docs_bin binary, tfs_bin binary, dls_bin binary"
 )
 
@@ -141,10 +141,13 @@ def _encode_stream_fn(n: float, avgdl: float, block_size: int):
             "first_doc": blocks["first_doc"],
             "last_doc": blocks["last_doc"],
             "max_score": np.maximum.reduceat(scores, rs),
-            # per-block (max_tf, min_dl): lets multi-segment readers
-            # recompute a valid WAND bound under *global* corpus stats
+            # per-block (max_tf, min_dl) -> upper bound, (min_tf, max_dl)
+            # -> lower bound; both recomputable under *global* corpus stats
+            # by multi-segment readers (WAND θ needs the lower bound)
             "max_tf": np.maximum.reduceat(tfs, rs).astype(np.float64),
             "min_dl": np.minimum.reduceat(dls, rs).astype(np.float64),
+            "min_tf": np.minimum.reduceat(tfs, rs).astype(np.float64),
+            "max_dl": np.maximum.reduceat(dls, rs).astype(np.float64),
             "docs_bin": blocks["docs_bin"],
             "tfs_bin": blocks["tfs_bin"],
             "dls_bin": blocks["dls_bin"],
@@ -334,7 +337,11 @@ def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
                                    "term", "salt")
                   .sortWithinPartitions("term", "salt", "doc_id")
                   .mapInPandas(enc, schema=POSTINGS_SCHEMA))
-        (blocks.write.mode("overwrite").partitionBy("bucket")
+        # compact: block rows are ~1000x fewer than postings, so this extra
+        # tiny shuffle buys one file per bucket — query-time file listing and
+        # footer reads stay O(buckets), not O(buckets x encode tasks)
+        (blocks.repartition(len(buckets), "bucket")
+               .write.mode("overwrite").partitionBy("bucket")
                .parquet(os.path.join(postings_path, f"group={gi}")))
         mark(f"group_{gi}.done")
         lap(f"encode_g{gi}")

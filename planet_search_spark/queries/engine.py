@@ -17,13 +17,15 @@ Read path (mirrors the ES search template execution, SURVEY.md §3.2):
    doc_store for the k winners only.
 
 Block-max WAND (the Lucene-side top-k pruning the reference gets for free,
-SURVEY.md §4 "Lucene-side (delegated)") as data-level pruning:
+SURVEY.md §4 "Lucene-side (delegated)") as data-level pruning, METADATA-ONLY
+(one tiny collect of per-block stats; no posting decode, no extra jobs):
 
-* term upper bounds ``mx(t)`` from term_dict; block bounds ``ub(t, b)``
-  stored per block at build time (exact per-block max contribution).
-* θ = k-th largest *partial* score over the docs of the single best block
-  per term (partial ≤ true score, so θ is a valid lower bound on the k-th
-  best true score).
+* per block both bounds are recomputed under GLOBAL corpus stats from the
+  stored (max_tf, min_dl) / (min_tf, max_dl) pairs — so they stay valid
+  after multi-segment appends; global df(t) = Σ n_docs over t's blocks.
+* θ = scan blocks by descending lower bound until cumulative n_docs ≥ k:
+  every doc of a scanned block truly scores ≥ its block's lower bound, so
+  θ is a valid lower bound on the k-th best total score.
 * a block (t, b) is pruned iff ``ub(t,b) + Σ_{t'≠t} mx(t') < θ``.
 
 Exactness argument: if a block is pruned, every doc in it has true score
@@ -179,16 +181,20 @@ def bm25_scores(spark: SparkSession, out_dir: str, query: str, *,
     return agg
 
 
-#: below this many candidate blocks the θ-sampling pass costs more than the
-#: decode it saves; pruning auto-disables (results identical either way)
-WAND_MIN_BLOCKS = 512
-
-
 def bm25_topk(spark: SparkSession, out_dir: str, query: str, k: int = 20, *,
               require_all: bool = False, prune: bool = True,
               hydrate: bool = True) -> DataFrame:
-    """Top-k BM25 with block-max WAND pruning; rank-identical to the
-    unpruned path (and to the logical path) by construction."""
+    """Top-k BM25 with metadata-only block-max WAND pruning; rank-identical
+    to the unpruned path (and to the logical path) by construction.
+
+    The θ lower bound comes from block METADATA alone (one tiny collect of
+    per-block stats — no posting decode): every doc in block b of term t
+    scores at least lb(t,b) = bm25(min_tf, max_dl | global stats), so
+    scanning blocks by descending lb until cumulative n_docs >= k yields a
+    valid lower bound on the k-th best total score. A block is pruned iff
+    ub(t,b) + Σ_{t'≠t} mx(t') < θ; see the module docstring for the
+    exactness argument.
+    """
     idx = open_index(out_dir)
     terms = sorted(set(A.py_tokens(query)))
     if not terms:
@@ -197,36 +203,45 @@ def bm25_topk(spark: SparkSession, out_dir: str, query: str, k: int = 20, *,
     blocks = _load_blocks(spark, idx, terms)
     blocks.persist()
     try:
-        if prune and blocks.count() < WAND_MIN_BLOCKS:
-            prune = False
         if prune:
-            stats = {r["term"]: float(r["max_score_ub"]) for r in
-                     _term_stats(spark, idx, terms).collect()}
-            total_ub = sum(stats.values())
-            # θ: decode only the best block per term, take k-th best partial
-            from pyspark.sql.window import Window
-            w = Window.partitionBy("term").orderBy(F.desc("max_score"),
-                                                   "block_id")
-            best = (blocks.withColumn("_rn", F.row_number().over(w))
-                          .where(F.col("_rn") == 1).drop("_rn"))
-            sample = (_scored_postings(spark, idx, terms, best)
-                      .groupBy("doc_id").agg(F.sum("s").alias("ps"))
-                      .orderBy(F.desc("ps")).limit(k).collect())
-            theta = float(sample[-1]["ps"]) if len(sample) >= k else 0.0
-            other = {t: total_ub - ub for t, ub in stats.items()}
-            other_df = spark.createDataFrame(
-                [(t, o) for t, o in other.items()], "term string, other double")
-            # block bound recomputed under GLOBAL stats from (max_tf, min_dl)
-            gdf = _term_stats(spark, idx, terms).select("term", "df")
-            block_ub = S.bm25_term_score(
-                F.col("max_tf"), F.col("df"), F.col("min_dl"),
-                F.lit(float(idx.n_docs)), F.lit(float(idx.avgdl)))
-            blocks_kept = (blocks.join(F.broadcast(other_df), "term")
-                           .join(F.broadcast(gdf), "term")
-                           .withColumn("_ub", block_ub)
-                           .where(F.col("_ub") + F.col("other")
-                                  >= F.lit(theta) - F.lit(1e-12))
-                           .drop("_ub", "df", "other"))
+            meta = blocks.select("term", "block_id", "n_docs",
+                                 "max_tf", "min_dl", "min_tf", "max_dl"
+                                 ).toPandas()
+            if len(meta):
+                n, avgdl = float(idx.n_docs), float(idx.avgdl)
+                k1, b = S.K1, S.B
+                # global df per term = Σ n_docs over its blocks
+                df_map = meta.groupby("term")["n_docs"].sum().astype(float)
+                dfv = meta["term"].map(df_map).to_numpy()
+                idf = np.log(1.0 + (n - dfv + 0.5) / (dfv + 0.5))
+                ub = idf * meta["max_tf"].to_numpy() / (
+                    meta["max_tf"].to_numpy()
+                    + k1 * (1 - b + b * meta["min_dl"].to_numpy() / avgdl))
+                lb = idf * meta["min_tf"].to_numpy() / (
+                    meta["min_tf"].to_numpy()
+                    + k1 * (1 - b + b * meta["max_dl"].to_numpy() / avgdl))
+                # θ: blocks by descending lower bound until k docs covered
+                order = np.argsort(-lb)
+                cum = np.cumsum(meta["n_docs"].to_numpy()[order])
+                pos = int(np.searchsorted(cum, k))
+                theta = float(lb[order[min(pos, len(order) - 1)]]) \
+                    if cum[-1] >= k else 0.0
+                mx = {}
+                for t, u in zip(meta["term"], ub):
+                    mx[t] = max(mx.get(t, 0.0), float(u))
+                total_ub = sum(mx.values())
+                other = meta["term"].map(
+                    {t: total_ub - v for t, v in mx.items()}).to_numpy()
+                keep = (ub + other) >= theta - 1e-12
+                if keep.all():
+                    blocks_kept = blocks
+                else:
+                    kept_df = spark.createDataFrame(
+                        meta.loc[keep, ["term", "block_id"]])
+                    blocks_kept = blocks.join(F.broadcast(kept_df),
+                                              ["term", "block_id"])
+            else:
+                blocks_kept = blocks
         else:
             blocks_kept = blocks
         scored = _scored_postings(spark, idx, terms, blocks_kept)

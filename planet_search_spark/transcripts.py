@@ -126,3 +126,36 @@ def synthesize_transcripts(spark: SparkSession, n_convs: int = 50,
         rows, "conv_id string, turn_idx int, role string, text string, "
               "tool string, epoch bigint")
     return df.withColumn("ts", F.timestamp_seconds("epoch")).drop("epoch")
+
+
+def replicated_enriched_corpus(spark: SparkSession, sf_dir: str,
+                               n_turns: int, parallelism: int = 64,
+                               out_path: str | None = None) -> DataFrame:
+    """Deterministic benchmark corpus: the documents->transcripts mapping
+    replicated to ``n_turns`` with distinct conv_ids and md5-derived
+    vocabulary enrichment (4 unique-ish + 1 near-unique + 1 shared-prefix
+    mid-frequency token per turn) so the term dictionary scales with the
+    corpus like real transcripts. Materialized to parquet when ``out_path``
+    is given (sampling/range-partition passes then re-read a table instead
+    of recomputing the explode)."""
+    tx = transcripts_from_documents(spark, sf_dir)
+    base = tx.count()
+    scale = max(1, n_turns // base)
+    key = F.md5(F.concat_ws("|", "conv_id", "turn_idx"))
+    extra = F.concat_ws(
+        " ",
+        F.concat(F.lit("u"), F.substring(key, 1, 7)),
+        F.concat(F.lit("u"), F.substring(key, 8, 7)),
+        F.concat(F.lit("u"), F.substring(key, 15, 7)),
+        F.concat(F.lit("u"), F.substring(key, 22, 7)),
+        F.concat(F.lit("v"), F.substring(key, 3, 7)),
+        F.concat(F.lit("pre"), F.substring(key, 1, 3)),
+    )
+    out = (tx.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(scale - 1))))
+             .withColumn("conv_id", F.concat_ws("_", "conv_id", "rep"))
+             .drop("rep")
+             .withColumn("text", F.concat_ws(" ", "text", extra)))
+    if out_path:
+        out.repartition(parallelism).write.mode("overwrite").parquet(out_path)
+        return spark.read.parquet(out_path)
+    return out

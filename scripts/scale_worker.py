@@ -81,30 +81,14 @@ def make_spark(spec: str, total_cores: int) -> SparkSession:
 
 def enriched_corpus(spark: SparkSession, n_turns: int, cores: int) -> str:
     """Materialize the deterministic enriched corpus; returns parquet path."""
-    from planet_search_spark.transcripts import transcripts_from_documents
+    from planet_search_spark.transcripts import replicated_enriched_corpus
     corpus_path = os.environ.get("SPARK_GRAFT_CORPUS")
     if corpus_path:
         return corpus_path
-    tx = transcripts_from_documents(spark, SF_DIR)
-    base = tx.count()
-    scale = max(1, n_turns // base)
-    key = F.md5(F.concat_ws("|", "conv_id", "turn_idx"))
-    extra = F.concat_ws(
-        " ",
-        F.concat(F.lit("u"), F.substring(key, 1, 7)),
-        F.concat(F.lit("u"), F.substring(key, 8, 7)),
-        F.concat(F.lit("u"), F.substring(key, 15, 7)),
-        F.concat(F.lit("u"), F.substring(key, 22, 7)),
-        F.concat(F.lit("v"), F.substring(key, 3, 7)),
-        F.concat(F.lit("pre"), F.substring(key, 1, 3)),  # 4096 mid-df terms
-    )
     corpus_path = tempfile.mkdtemp(prefix="psearch_corpus_") + "/tx.parquet"
-    (tx.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(scale - 1))))
-       .withColumn("conv_id", F.concat_ws("_", "conv_id", "rep"))
-       .drop("rep")
-       .withColumn("text", F.concat_ws(" ", "text", extra))
-       .repartition(max(cores * 2, 16))
-       .write.mode("overwrite").parquet(corpus_path))
+    replicated_enriched_corpus(spark, SF_DIR, n_turns,
+                               parallelism=max(cores * 2, 16),
+                               out_path=corpus_path)
     return corpus_path
 
 

@@ -54,7 +54,7 @@ def test_incremental_equals_single_shot(spark, corpora, tmp_path):
     for q in ["error timeout retry", "spark", "the data", "kitten sitting"]:
         assert _top(spark, inc, q) == _top(spark, full, q), q
     # WAND across segments stays exact too
-    assert _top(spark, inc, "error timeout", prune=True) == \
+    assert _top(spark, inc, "error timeout", prune="force") == \
            _top(spark, inc, "error timeout", prune=False)
 
 

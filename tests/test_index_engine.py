@@ -80,7 +80,7 @@ def test_segment_matches_logical_and(spark, corpus, index_dir):
 
 @pytest.mark.parametrize("query", ["error timeout retry", "the data spark"])
 def test_wand_equals_unpruned(spark, index_dir, query):
-    pruned = E.bm25_topk(spark, index_dir, query, k=10, prune=True,
+    pruned = E.bm25_topk(spark, index_dir, query, k=10, prune="force",
                          hydrate=False).toPandas()
     full = E.bm25_topk(spark, index_dir, query, k=10, prune=False,
                        hydrate=False).toPandas()
