@@ -260,10 +260,12 @@ def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
         "doc_id", "dl", F.posexplode("toks").alias("pos", "term")) \
         .withColumn("bucket", bucket_col(F.col("term"), n_buckets))
     if with_positions and not done("stage_pos.done"):
-        # direct dynamic-partition write — Spark sorts rows by bucket within
-        # each task, so no shuffle at all for the positions table; the tf
-        # groupBy below is then the build's only wide operation
+        # direct dynamic-partition write — no shuffle at all for the
+        # positions table (the tf groupBy below is the build's only wide
+        # operation). In-task sort by (bucket, term) so parquet row-group
+        # min/max stats on term let phrase queries prune row groups.
         (exploded
+         .sortWithinPartitions("bucket", "term", "doc_id", "pos")
          .write.mode("overwrite").partitionBy("bucket").parquet(pos_path))
         mark("stage_pos.done")
     lap("pos_partial")
