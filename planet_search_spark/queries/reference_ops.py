@@ -348,8 +348,9 @@ WHERE ts >= TIMESTAMP '2026-01-01 01:00:00'
 """)
 def q_recency_window_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
     tx = transcripts_from_documents(spark, sf_dir)
-    in_win = (F.col("ts") >= F.lit("2026-01-01 01:00:00").cast("timestamp")) \
-        & (F.col("ts") < F.lit("2026-01-01 05:00:00").cast("timestamp"))
+    # epoch bounds, not naive literals — identical in any session timezone
+    w0, w1 = 1_767_229_200, 1_767_243_600  # 01:00 / 05:00 UTC on 2026-01-01
+    in_win = (F.unix_timestamp("ts") >= w0) & (F.unix_timestamp("ts") < w1)
     return (tx.where(in_win)
             .select("conv_id", "turn_idx",
                     S.quantize(F.when(in_win, 0.15).otherwise(0.0))

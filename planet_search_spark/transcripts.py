@@ -29,6 +29,7 @@ N_CONV = 101  # prime; spreads doc_ids across conversations
 ROLES = ["user", "assistant", "system", "tool"]
 TOOLS = ["search", "code", "browse"]
 EPOCH = "2026-01-01 00:00:00"
+EPOCH_S = 1_767_225_600  # 2026-01-01T00:00:00Z
 
 
 def transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -44,7 +45,9 @@ def transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(d % 3 == 0, F.lit("search"))
          .when(d % 3 == 1, F.lit(None).cast("string"))
          .otherwise(F.lit("code")).alias("tool"),
-        F.expr(f"timestampadd(MINUTE, cast(doc_id as int), timestamp'{EPOCH}')").alias("ts"),
+        # epoch arithmetic, not a naive literal: identical in any session
+        # timezone (the DuckDB oracle's naive TIMESTAMP is epoch()'d as UTC)
+        F.timestamp_seconds(F.lit(EPOCH_S) + d * 60).alias("ts"),
     )
 
 
