@@ -72,6 +72,18 @@ def main():
         timed("phrase_positional", lambda: E.phrase_match(
             spark, out_dir, "stream table hash").collect())
 
+        # low-latency serving path (no Spark jobs; same segments)
+        import statistics
+        from planet_search_spark.queries.serve import LocalSearcher
+        srv = LocalSearcher(out_dir)
+        srv.bm25_topk("spark", k=5)  # warm dataset handles
+        lat = []
+        for _ in range(20):
+            t = time.time()
+            srv.bm25_topk("spark merge window", k=20)
+            lat.append(time.time() - t)
+        timings["serve_bm25_topk_p50"] = round(statistics.median(lat), 4)
+
         # -- logical (raw-table) operator suite at the sf dir ---------------
         for name in ["bm25_or", "bm25_and", "bm25_topk", "prefix_search",
                      "fuzzy_search", "function_score_search", "dismax_search"]:

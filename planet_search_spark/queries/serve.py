@@ -1,0 +1,153 @@
+"""Low-latency serving reader over the SAME segment files the Spark engine
+writes — the architectural mirror of the reference, where Spark/Planetiler
+builds and Elasticsearch serves (``MainClass.java`` builds, the stored
+templates serve): index segments are built distributed, then any number of
+stateless searchers memory-map them for millisecond point queries.
+
+No Spark session involved: pyarrow datasets with bucket/term predicate
+pushdown + the same numpy varbyte codec. Results are EXACTLY the engine's
+(same blocks, same float64 math, same tie-break) — asserted in tests.
+
+At 100 TB this is the fan-out pattern: each searcher owns a bucket range
+(the term-bucket partitioning is the shard key), the coordinator merges
+per-shard top-k heaps — precisely ES's shard/coordinator split, but over
+open parquet segments instead of Lucene files.
+"""
+from __future__ import annotations
+
+import json
+import math
+import os
+import numpy as np
+import pyarrow.dataset as ds
+
+from .. import analysis as A
+from .. import scoring as S
+from ..indexing import codec
+from ..indexing.build import bucket_of
+
+
+class LocalSearcher:
+    """Stateless low-latency reader for one index directory (all segments)."""
+
+    def __init__(self, out_dir: str):
+        with open(os.path.join(out_dir, "live.json")) as f:
+            segs = json.load(f)["segments"]
+        self.seg_dirs = [os.path.join(out_dir, "segments", s) for s in segs]
+        self.n_docs, self.sum_dl = 0, 0
+        self.n_buckets = None
+        for sd in self.seg_dirs:
+            with open(os.path.join(sd, "corpus_stats.json")) as f:
+                cs = json.load(f)
+            self.n_docs += cs["n_docs"]
+            self.sum_dl += cs.get("sum_dl",
+                                  int(round(cs["avgdl"] * cs["n_docs"])))
+            self.n_buckets = cs["n_buckets"]
+        self.avgdl = self.sum_dl / self.n_docs
+        self._postings = [ds.dataset(os.path.join(sd, "postings"),
+                                     partitioning="hive")
+                          for sd in self.seg_dirs]
+        self._stores = [ds.dataset(os.path.join(sd, "doc_store"))
+                        for sd in self.seg_dirs]
+        self._store_cache = None  # lazy in-RAM stored-fields (page-cache analogue)
+
+    # -- postings ------------------------------------------------------------
+
+    def _blocks(self, terms: list[str]):
+        buckets = sorted({bucket_of(t, self.n_buckets) for t in terms})
+        filt = (ds.field("bucket").isin(buckets)
+                & ds.field("term").isin(terms))
+        cols = ["term", "n_docs", "docs_bin", "tfs_bin", "dls_bin"]
+        out = []
+        for d in self._postings:
+            out.append(d.to_table(columns=cols, filter=filt))
+        return out
+
+    def _postings_arrays(self, terms: list[str]):
+        """term -> (doc_ids, tfs, dls) numpy arrays, merged over segments.
+
+        One vectorized decode per term per stream: all of a term's block
+        payloads are byte-concatenated and varbyte-decoded in a single pass
+        (varbyte is self-delimiting); absolute doc_ids come from a segmented
+        cumsum that resets at each block boundary — the delta chain restarts
+        with an absolute id at every block start by construction, which is
+        exactly :func:`codec.decode_positions`'s semantics.
+        """
+        acc: dict[str, dict] = {t: {"n": [], "d": [], "t": [], "l": []}
+                                for t in terms}
+        for tbl in self._blocks(terms):
+            tcol = tbl.column("term").to_pylist()
+            ncol = tbl.column("n_docs").to_pylist()
+            dbin = tbl.column("docs_bin").to_pylist()
+            tbin = tbl.column("tfs_bin").to_pylist()
+            lbin = tbl.column("dls_bin").to_pylist()
+            for t, n, db, tb, lb in zip(tcol, ncol, dbin, tbin, lbin):
+                a = acc[t]
+                a["n"].append(n)
+                a["d"].append(db)
+                a["t"].append(tb)
+                a["l"].append(lb)
+        out = {}
+        for t, a in acc.items():
+            if not a["n"]:
+                continue
+            n_docs = np.asarray(a["n"], dtype=np.int64)
+            ids = codec.decode_positions(b"".join(a["d"]), n_docs)
+            out[t] = (ids, codec.varbyte_decode(b"".join(a["t"])),
+                      codec.varbyte_decode(b"".join(a["l"])))
+        return out
+
+    def _term_score(self, tfs: np.ndarray, dls: np.ndarray,
+                    df: float) -> np.ndarray:
+        idf = math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+        return idf * tfs / (tfs + S.K1 * (1 - S.B + S.B * dls / self.avgdl))
+
+    # -- queries ---------------------------------------------------------------
+
+    def bm25_topk(self, query: str, k: int = 20, *,
+                  require_all: bool = False, hydrate: bool = True):
+        """Exact BM25 top-k; identical results to the Spark engine path."""
+        terms = sorted(set(A.py_tokens(query)))
+        posts = self._postings_arrays(terms) if terms else {}
+        if not posts:
+            return []
+        all_ids = np.concatenate([p[0] for p in posts.values()])
+        uniq = np.unique(all_ids)
+        scores = np.zeros(uniq.size)
+        nmatch = np.zeros(uniq.size, dtype=np.int32)
+        for t, (ids, tfs, dls) in posts.items():
+            idx = np.searchsorted(uniq, ids)
+            s = self._term_score(tfs.astype(np.float64),
+                                 dls.astype(np.float64), float(ids.size))
+            np.add.at(scores, idx, s)
+            nmatch[idx] += 1
+        mask = np.ones(uniq.size, dtype=bool)
+        if require_all:
+            mask = nmatch >= len(terms)
+        cand = np.flatnonzero(mask)
+        if cand.size == 0:
+            return []
+        # top-k heap: argpartition then exact sort with (score desc, id asc)
+        kk = min(k, cand.size)
+        part = cand[np.argpartition(-scores[cand], kk - 1)[:kk]]
+        order = part[np.lexsort((uniq[part], -scores[part]))]
+        rows = [{"doc_id": int(uniq[i]), "score": float(scores[i]),
+                 "nmatch": int(nmatch[i])} for i in order]
+        if hydrate:
+            if self._store_cache is None:
+                cols = ["doc_id", "conv_id", "turn_idx", "role", "tool"]
+                parts = [st.to_table(columns=cols) for st in self._stores]
+                import pyarrow as pa
+                tbl = pa.concat_tables(parts)
+                o = np.argsort(tbl.column("doc_id").to_numpy())
+                self._store_cache = (
+                    tbl.column("doc_id").to_numpy()[o],
+                    {c: np.asarray(tbl.column(c).to_pylist(),
+                                   dtype=object)[o] for c in cols[1:]})
+            sids, cols = self._store_cache
+            for r in rows:
+                j = int(np.searchsorted(sids, r["doc_id"]))
+                if j < sids.size and sids[j] == r["doc_id"]:
+                    for c, arr in cols.items():
+                        r[c] = arr[j]
+        return rows

@@ -1,0 +1,60 @@
+"""The low-latency serving reader must return EXACTLY the Spark engine's
+results (same segments, same math, same tie-break) — and fast."""
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from planet_search_spark.indexing.build import build_index, incremental_update
+from planet_search_spark.queries import engine as E
+from planet_search_spark.queries.serve import LocalSearcher
+from planet_search_spark.transcripts import synthesize_transcripts
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("srvidx"))
+    a = synthesize_transcripts(spark, n_convs=40, seed=31)
+    b = synthesize_transcripts(spark, n_convs=15, seed=32) \
+        .withColumnRenamed("conv_id", "cid") \
+        .selectExpr("concat('z_', cid) as conv_id", "turn_idx", "role",
+                    "text", "tool", "ts")
+    build_index(spark, a, out, n_buckets=8, block_size=16, salt_target=64,
+                n_groups=1)
+    incremental_update(spark, out, b, n_groups=1)  # multi-segment serving
+    return out
+
+
+QUERIES = ["error timeout retry", "spark", "kitten sitting", "the data",
+           "שָׁלוֹם café", "zzznothing", "error zzznothing"]
+
+
+@pytest.mark.parametrize("query", QUERIES)
+@pytest.mark.parametrize("require_all", [False, True])
+def test_serve_matches_engine(spark, index_dir, query, require_all):
+    srv = LocalSearcher(index_dir)
+    got = srv.bm25_topk(query, k=15, require_all=require_all, hydrate=False)
+    want = [r.asDict() for r in
+            E.bm25_topk(spark, index_dir, query, k=15, hydrate=False,
+                        require_all=require_all, prune=False).collect()]
+    assert [(g["doc_id"], round(g["score"], 10)) for g in got] == \
+           [(w["doc_id"], round(w["score"], 10)) for w in want], query
+
+
+def test_serve_hydrates(index_dir):
+    srv = LocalSearcher(index_dir)
+    rows = srv.bm25_topk("error timeout", k=5)
+    assert rows and all("conv_id" in r and "role" in r for r in rows)
+
+
+def test_serve_latency(index_dir):
+    srv = LocalSearcher(index_dir)
+    srv.bm25_topk("error", k=10)  # warm the datasets
+    t0 = time.time()
+    n = 20
+    for _ in range(n):
+        srv.bm25_topk("error timeout retry", k=20)
+    per = (time.time() - t0) / n
+    # serving must be orders of magnitude below the Spark job floor
+    assert per < 0.5, f"{per:.3f}s per query"
