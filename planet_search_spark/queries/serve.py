@@ -50,6 +50,8 @@ class LocalSearcher:
         self._stores = [ds.dataset(os.path.join(sd, "doc_store"))
                         for sd in self.seg_dirs]
         self._store_cache = None  # lazy in-RAM stored-fields (page-cache analogue)
+        self._term_cache: dict = {}  # term -> decoded (ids, tfs, dls)
+        self._term_cache_cap = 4096
 
     # -- postings ------------------------------------------------------------
 
@@ -73,9 +75,14 @@ class LocalSearcher:
         with an absolute id at every block start by construction, which is
         exactly :func:`codec.decode_positions`'s semantics.
         """
+        cached = {t: self._term_cache[t] for t in terms
+                  if t in self._term_cache}
+        missing = [t for t in terms if t not in cached]
+        if not missing:
+            return dict(cached)
         acc: dict[str, dict] = {t: {"n": [], "d": [], "t": [], "l": []}
-                                for t in terms}
-        for tbl in self._blocks(terms):
+                                for t in missing}
+        for tbl in self._blocks(missing):
             tcol = tbl.column("term").to_pylist()
             ncol = tbl.column("n_docs").to_pylist()
             dbin = tbl.column("docs_bin").to_pylist()
@@ -87,7 +94,7 @@ class LocalSearcher:
                 a["d"].append(db)
                 a["t"].append(tb)
                 a["l"].append(lb)
-        out = {}
+        out = dict(cached)
         for t, a in acc.items():
             if not a["n"]:
                 continue
@@ -95,6 +102,8 @@ class LocalSearcher:
             ids = codec.decode_positions(b"".join(a["d"]), n_docs)
             out[t] = (ids, codec.varbyte_decode(b"".join(a["t"])),
                       codec.varbyte_decode(b"".join(a["l"])))
+            if len(self._term_cache) < self._term_cache_cap:
+                self._term_cache[t] = out[t]
         return out
 
     def _term_score(self, tfs: np.ndarray, dls: np.ndarray,
