@@ -17,23 +17,41 @@ Read path (mirrors the ES search template execution, SURVEY.md §3.2):
    doc_store for the k winners only.
 
 Block-max WAND (the Lucene-side top-k pruning the reference gets for free,
-SURVEY.md §4 "Lucene-side (delegated)") as data-level pruning, METADATA-ONLY
-(one tiny collect of per-block stats; no posting decode, no extra jobs):
+SURVEY.md §4 "Lucene-side (delegated)") as data-level pruning — fully
+DISTRIBUTED over block metadata (never a per-block driver collect; the only
+driver-side state is one row per QUERY TERM — θ is a one-row aggregate
+cross-joined into the keep filter, so pruning adds zero extra Spark jobs):
 
 * per block both bounds are recomputed under GLOBAL corpus stats from the
   stored (max_tf, min_dl) / (min_tf, max_dl) pairs — so they stay valid
-  after multi-segment appends; global df(t) = Σ n_docs over t's blocks.
-* θ = scan blocks by descending lower bound until cumulative n_docs ≥ k:
-  every doc of a scanned block truly scores ≥ its block's lower bound, so
-  θ is a valid lower bound on the k-th best total score.
-* a block (t, b) is pruned iff ``ub(t,b) + Σ_{t'≠t} mx(t') < θ``.
+  after multi-segment appends; global df(t) comes from the term dictionary
+  (summed across segments).
+* selectivity gate (cheap, term-level only): θ ≤ M := max_t mx(t), and a
+  block of term t can only be pruned when ub(t,b) + (total − mx(t)) < θ,
+  which for ANY t requires 2·M > total. All-hot-term OR queries (mx roughly
+  equal across terms) fail the gate and skip the θ job entirely — pruning
+  cannot win there, so the unpruned plan runs (this was a measured
+  regression in round 1 when pruning was unconditional).
+* θ = max over terms t of θ_t, where θ_t scans t's blocks by descending
+  lower bound until cumulative n_docs ≥ k. Blocks of ONE term are
+  doc-disjoint (each doc appears once per posting list, and segments hold
+  disjoint doc ranges), so θ_t is a valid lower bound on the k-th best
+  score; blocks of DIFFERENT terms may share docs, which is why θ is a max
+  over per-term scans, never a cross-term cumulative scan.
+* a block (t, b) is pruned iff ``ub(t,b) + Σ_{t'≠t} mx(t') < θ`` — applied
+  as a plain column FILTER on the block relation (per-term constants via a
+  literal map), so multi-segment indexes need no (term, block_id) join and
+  block_id uniqueness across segments is irrelevant.
+* pruning is DISABLED under ``require_all``: θ lower-bounds the k-th best
+  *disjunctive* score, so an AND-matching doc scoring below θ could lose a
+  pruned term contribution and silently drop out of conjunctive results.
 
 Exactness argument: if a block is pruned, every doc in it has true score
 < θ; any doc with true score ≥ θ therefore keeps ALL its blocks and its
 computed score is exact; since ≥ k docs score ≥ θ, the true top-k and their
 scores are unchanged. Docs that lost a pruned contribution rank strictly
 below θ and cannot displace the top-k. Verified against the unpruned path
-in tests.
+in tests (including a multi-segment index where blocks provably drop).
 """
 from __future__ import annotations
 
@@ -130,36 +148,120 @@ def _term_stats(spark: SparkSession, idx: IndexMeta, terms: list[str]) -> DataFr
 
 
 def _decode_blocks(blocks: DataFrame) -> DataFrame:
-    """Arrow-batched block decode -> one row per (term, doc_id)."""
+    """Arrow-batched block decode -> one row per (term, doc_id).
+
+    Vectorized per TERM, not per block: within each Arrow batch all of a
+    term's block payloads are byte-concatenated and decoded in ONE varbyte
+    pass per stream (varbyte is self-delimiting). Absolute doc_ids come from
+    :func:`codec.decode_positions`'s segmented cumsum with per-block doc
+    counts as segment lengths — the delta chain restarts with an absolute id
+    at every block start by construction. Same trick as ``serve.py``;
+    ~#query-terms iterations per batch instead of ~#blocks.
+    """
 
     def decode(batches):
         for pdf in batches:
+            if not len(pdf):
+                continue
             outs = []
-            for r in pdf.itertuples(index=False):
-                doc_ids = codec.delta_decode(codec.varbyte_decode(r.docs_bin))
+            for t, g in pdf.groupby("term", sort=False):
+                n_docs = g["n_docs"].to_numpy(np.int64)
+                ids = codec.decode_positions(b"".join(g["docs_bin"]), n_docs)
                 outs.append(pd.DataFrame({
-                    "term": np.repeat(r.term, len(doc_ids)),
-                    "doc_id": doc_ids,
-                    "tf": codec.varbyte_decode(r.tfs_bin).astype(np.float64),
-                    "dl": codec.varbyte_decode(r.dls_bin).astype(np.float64)}))
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+                    "term": np.repeat(t, ids.size),
+                    "doc_id": ids,
+                    "tf": codec.varbyte_decode(
+                        b"".join(g["tfs_bin"])).astype(np.float64),
+                    "dl": codec.varbyte_decode(
+                        b"".join(g["dls_bin"])).astype(np.float64)}))
+            yield pd.concat(outs, ignore_index=True)
 
-    return (blocks.select("term", "docs_bin", "tfs_bin", "dls_bin")
+    return (blocks.select("term", "n_docs", "docs_bin", "tfs_bin", "dls_bin")
             .mapInPandas(decode,
                          schema="term string, doc_id long, tf double, dl double"))
 
 
-def _scored_postings(spark: SparkSession, idx: IndexMeta, terms: list[str],
-                     blocks: DataFrame) -> DataFrame:
-    """(term, doc_id, s) with exact BM25 per-term contributions."""
+def _df_map_col(df_map: dict[str, float]):
+    """term -> df as a literal-map lookup column (no join in the plan)."""
+    if not df_map:  # no query term exists in the index: typed empty lookup
+        return F.lit(None).cast("double")
+    entries = [x for t, d in df_map.items() for x in (F.lit(t), F.lit(d))]
+    return F.create_map(*entries)[F.col("term")]
+
+
+def _scored_postings(idx: IndexMeta, blocks: DataFrame,
+                     df_map: dict[str, float]) -> DataFrame:
+    """(term, doc_id, s) with exact BM25 per-term contributions.
+
+    ``df_map`` holds the GLOBAL per-term doc frequencies (summed across
+    segments, collected once — one tiny row per query term); the lookup is a
+    literal map projection, so scoring adds no join to the plan.
+    """
     decoded = _decode_blocks(blocks)
-    stats = _term_stats(spark, idx, terms)
     n, avgdl = float(idx.n_docs), float(idx.avgdl)
-    return (decoded.join(F.broadcast(stats.select("term", "df")), "term")
-            .withColumn("s", S.bm25_term_score(
-                F.col("tf"), F.col("df"), F.col("dl"),
-                F.lit(n), F.lit(avgdl))))
+    return decoded.withColumn("s", S.bm25_term_score(
+        F.col("tf"), _df_map_col(df_map), F.col("dl"),
+        F.lit(n), F.lit(avgdl)))
+
+
+def _collect_term_stats(spark: SparkSession, idx: IndexMeta,
+                        terms: list[str]) -> list:
+    """One row per query term: (term, df, max_score_ub) — global stats."""
+    return _term_stats(spark, idx, terms).collect()
+
+
+def _wand_prune_blocks(blocks: DataFrame, stats: list, idx: IndexMeta,
+                       k: int, *, force: bool = False,
+                       want_theta: bool = False):
+    """Block-max WAND pruning, distributed end to end and LAZY.
+
+    Returns ``(blocks_kept, info)``. θ is a one-row aggregate over block
+    METADATA (per-term descending-lb window + cumulative doc count) that is
+    CROSS-JOINED into the keep filter — no separate driver action, no
+    per-block collect (the round-1 design collected all block metadata,
+    which dies on a stopword at 10^12 turns, and its separate θ job was a
+    measured net loss on hot-term queries). Driver-side state: one row per
+    query term.
+
+    Static gate: pruning any block of term t needs other(t) = total − mx(t)
+    < θ ≤ M, and min_t other(t) = total − M, so 2·M ≤ total proves no block
+    can ever be pruned — skip even the in-plan θ (e.g. three similar hot
+    terms). ``force=True`` bypasses the gate (tests); ``want_theta``
+    materializes θ eagerly for assertions.
+    """
+    from pyspark.sql.window import Window
+
+    if not stats:
+        return blocks, {"gated": True, "theta": 0.0}
+    mx = {r["term"]: float(r["max_score_ub"]) for r in stats}
+    df_map = {r["term"]: float(r["df"]) for r in stats}
+    total, m = sum(mx.values()), max(mx.values())
+    if not force and 2.0 * m <= total + 1e-12:
+        return blocks, {"gated": True, "theta": 0.0}
+    n, avgdl = float(idx.n_docs), float(idx.avgdl)
+    df_col = _df_map_col(df_map)
+    lb = S.bm25_term_score(F.col("min_tf"), df_col, F.col("max_dl"),
+                           F.lit(n), F.lit(avgdl))
+    # θ_t: scan t's blocks by descending lb until ≥ k docs covered (blocks
+    # of one term are doc-disjoint, also across segments); θ = max_t θ_t.
+    w = (Window.partitionBy("term").orderBy(F.desc("lb"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    theta_df = (blocks.select("term", "n_docs", lb.alias("lb"))
+                .withColumn("cum", F.sum("n_docs").over(w))
+                .where(F.col("cum") >= k)
+                .agg(F.coalesce(F.max("lb"), F.lit(0.0)).alias("theta")))
+    other_col = F.create_map(
+        *[x for t, v in mx.items() for x in (F.lit(t), F.lit(total - v))]
+    )[F.col("term")]
+    ub = S.bm25_term_score(F.col("max_tf"), df_col, F.col("min_dl"),
+                           F.lit(n), F.lit(avgdl))
+    kept = (blocks.crossJoin(theta_df)
+            .where((ub + other_col) >= F.col("theta") - F.lit(1e-12))
+            .drop("theta"))
+    info = {"gated": False, "theta": None}
+    if want_theta:
+        info["theta"] = float(theta_df.collect()[0]["theta"])
+    return kept, info
 
 
 def bm25_scores(spark: SparkSession, out_dir: str, query: str, *,
@@ -172,7 +274,9 @@ def bm25_scores(spark: SparkSession, out_dir: str, query: str, *,
             F.col("id").alias("doc_id"), F.lit(0.0).alias("score"),
             F.lit(0).cast("long").alias("nmatch"))
     blocks = _load_blocks(spark, idx, terms)
-    scored = _scored_postings(spark, idx, terms, blocks)
+    stats = _collect_term_stats(spark, idx, terms)
+    df_map = {r["term"]: float(r["df"]) for r in stats}
+    scored = _scored_postings(idx, blocks, df_map)
     agg = (scored.groupBy("doc_id")
            .agg(F.sum("s").alias("score"),
                 F.count_distinct("term").alias("nmatch")))
@@ -183,17 +287,18 @@ def bm25_scores(spark: SparkSession, out_dir: str, query: str, *,
 
 def bm25_topk(spark: SparkSession, out_dir: str, query: str, k: int = 20, *,
               require_all: bool = False, prune: bool = True,
-              hydrate: bool = True) -> DataFrame:
-    """Top-k BM25 with metadata-only block-max WAND pruning; rank-identical
-    to the unpruned path (and to the logical path) by construction.
-
-    The θ lower bound comes from block METADATA alone (one tiny collect of
-    per-block stats — no posting decode): every doc in block b of term t
-    scores at least lb(t,b) = bm25(min_tf, max_dl | global stats), so
-    scanning blocks by descending lb until cumulative n_docs >= k yields a
-    valid lower bound on the k-th best total score. A block is pruned iff
-    ub(t,b) + Σ_{t'≠t} mx(t') < θ; see the module docstring for the
+              hydrate: bool = True, prune_stats: dict | None = None) -> DataFrame:
+    """Top-k BM25 with distributed block-max WAND pruning; rank-identical to
+    the unpruned path (and to the logical path) by construction — see the
+    module docstring for the θ derivation, the selectivity gate, and the
     exactness argument.
+
+    ``prune`` accepts ``"force"`` to bypass the selectivity gate (tests use
+    it to guarantee the pruned code path runs). Pruning is always disabled
+    under ``require_all`` (unsound for conjunctive results — docstring).
+    ``prune_stats``, when a dict, is filled with {theta, gated,
+    blocks_total, blocks_kept} (the counts cost two extra metadata-only
+    jobs; pass None outside tests).
     """
     idx = open_index(out_dir)
     terms = sorted(set(A.py_tokens(query)))
@@ -201,65 +306,32 @@ def bm25_topk(spark: SparkSession, out_dir: str, query: str, k: int = 20, *,
         return spark.range(0).select(F.col("id").alias("doc_id"),
                                      F.lit(0.0).alias("score"))
     blocks = _load_blocks(spark, idx, terms)
-    blocks.persist()
-    try:
-        if prune:
-            meta = blocks.select("term", "block_id", "n_docs",
-                                 "max_tf", "min_dl", "min_tf", "max_dl"
-                                 ).toPandas()
-            if len(meta):
-                n, avgdl = float(idx.n_docs), float(idx.avgdl)
-                k1, b = S.K1, S.B
-                # global df per term = Σ n_docs over its blocks
-                df_map = meta.groupby("term")["n_docs"].sum().astype(float)
-                dfv = meta["term"].map(df_map).to_numpy()
-                idf = np.log(1.0 + (n - dfv + 0.5) / (dfv + 0.5))
-                ub = idf * meta["max_tf"].to_numpy() / (
-                    meta["max_tf"].to_numpy()
-                    + k1 * (1 - b + b * meta["min_dl"].to_numpy() / avgdl))
-                lb = idf * meta["min_tf"].to_numpy() / (
-                    meta["min_tf"].to_numpy()
-                    + k1 * (1 - b + b * meta["max_dl"].to_numpy() / avgdl))
-                # θ: blocks by descending lower bound until k docs covered
-                order = np.argsort(-lb)
-                cum = np.cumsum(meta["n_docs"].to_numpy()[order])
-                pos = int(np.searchsorted(cum, k))
-                theta = float(lb[order[min(pos, len(order) - 1)]]) \
-                    if cum[-1] >= k else 0.0
-                mx = {}
-                for t, u in zip(meta["term"], ub):
-                    mx[t] = max(mx.get(t, 0.0), float(u))
-                total_ub = sum(mx.values())
-                other = meta["term"].map(
-                    {t: total_ub - v for t, v in mx.items()}).to_numpy()
-                keep = (ub + other) >= theta - 1e-12
-                if keep.all():
-                    blocks_kept = blocks
-                else:
-                    kept_df = spark.createDataFrame(
-                        meta.loc[keep, ["term", "block_id"]])
-                    blocks_kept = blocks.join(F.broadcast(kept_df),
-                                              ["term", "block_id"])
-            else:
-                blocks_kept = blocks
-        else:
-            blocks_kept = blocks
-        scored = _scored_postings(spark, idx, terms, blocks_kept)
-        agg = (scored.groupBy("doc_id")
-               .agg(F.sum("s").alias("score"),
-                    F.count_distinct("term").alias("nmatch")))
-        if require_all:
-            agg = agg.where(F.col("nmatch") == len(terms))
-        top = (agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
-        if hydrate:
-            store = doc_store(spark, idx)
-            top = (top.join(store, "doc_id")
-                      .select("doc_id", "conv_id", "turn_idx", "role", "tool",
-                              "ts", "score", "nmatch")
-                      .orderBy(F.desc("score"), F.asc("doc_id")))
-        return top
-    finally:
-        blocks.unpersist(False)
+    stats = _collect_term_stats(spark, idx, terms)
+    df_map = {r["term"]: float(r["df"]) for r in stats}
+    do_prune = bool(prune) and not require_all
+    blocks_kept, info = (_wand_prune_blocks(blocks, stats, idx, k,
+                                            force=(prune == "force"),
+                                            want_theta=prune_stats is not None)
+                         if do_prune else (blocks, {"gated": True,
+                                                    "theta": 0.0}))
+    if prune_stats is not None:
+        prune_stats.update(info)
+        prune_stats["blocks_total"] = blocks.count()
+        prune_stats["blocks_kept"] = blocks_kept.count()
+    scored = _scored_postings(idx, blocks_kept, df_map)
+    agg = (scored.groupBy("doc_id")
+           .agg(F.sum("s").alias("score"),
+                F.count_distinct("term").alias("nmatch")))
+    if require_all:
+        agg = agg.where(F.col("nmatch") == len(terms))
+    top = (agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+    if hydrate:
+        store = doc_store(spark, idx)
+        top = (top.join(store, "doc_id")
+                  .select("doc_id", "conv_id", "turn_idx", "role", "tool",
+                          "ts", "score", "nmatch")
+                  .orderBy(F.desc("score"), F.asc("doc_id")))
+    return top
 
 
 def phrase_match(spark: SparkSession, out_dir: str, phrase: str) -> DataFrame:
@@ -397,7 +469,9 @@ def search(spark: SparkSession, out_dir: str, params) -> DataFrame:
     exp_df = spark.createDataFrame(pairs, "orig string, term string").distinct()
 
     blocks = _load_blocks(spark, idx, exp_terms)
-    scored = _scored_postings(spark, idx, exp_terms, blocks)
+    df_map = {r["term"]: float(r["df"])
+              for r in _collect_term_stats(spark, idx, exp_terms)}
+    scored = _scored_postings(idx, blocks, df_map)
     # dis_max over expansions of each original term (B15), then sum (B16/B9)
     per_orig = (scored.join(F.broadcast(exp_df), "term")
                 .groupBy("doc_id", "orig").agg(F.max("s").alias("s")))

@@ -136,10 +136,19 @@ class LocalSearcher:
         cand = np.flatnonzero(mask)
         if cand.size == 0:
             return []
-        # top-k heap: argpartition then exact sort with (score desc, id asc)
+        # top-k heap: argpartition by score, then WIDEN the cut to every
+        # candidate tied with the boundary score before the exact
+        # (score desc, doc_id asc) lexsort — argpartition alone resolves
+        # boundary ties arbitrarily, breaking exact parity with the engine's
+        # orderBy(score desc, doc_id asc).limit(k)
         kk = min(k, cand.size)
-        part = cand[np.argpartition(-scores[cand], kk - 1)[:kk]]
-        order = part[np.lexsort((uniq[part], -scores[part]))]
+        if kk < cand.size:
+            part = np.argpartition(-scores[cand], kk - 1)
+            boundary = scores[cand[part[kk - 1]]]
+            sel = cand[scores[cand] >= boundary]
+        else:
+            sel = cand
+        order = sel[np.lexsort((uniq[sel], -scores[sel]))][:kk]
         rows = [{"doc_id": int(uniq[i]), "score": float(scores[i]),
                  "nmatch": int(nmatch[i])} for i in order]
         if hydrate:

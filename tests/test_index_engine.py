@@ -88,13 +88,84 @@ def test_wand_equals_unpruned(spark, index_dir, query):
     assert (pruned.score - full.score).abs().max() < 1e-12
 
 
-def test_wand_actually_prunes(spark, index_dir):
-    """On a skewed query the pruning must drop at least one block."""
+@pytest.fixture(scope="module")
+def skewed_corpus(spark):
+    """Engineered tf/dl variance so block bounds provably separate: 20 short
+    docs 'the the the zz' (high per-block lower bound) followed by 20 long
+    docs with a single 'the' among filler (low upper bound). Doc ids follow
+    (conv_id, turn_idx), so with block_size=16 the short docs fill the first
+    block and θ(k=5) exceeds the long blocks' upper bounds."""
+    rows = []
+    for t in range(20):
+        rows.append(("conv_a", t, "user", "the the the zz", None, 1_767_225_600 + t))
+    filler = " ".join(f"w{i}" for i in range(29))
+    for t in range(20):
+        rows.append(("conv_b", t, "user", f"the zz {filler}", None, 1_767_225_700 + t))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, epoch bigint")
+    return df.withColumn("ts", F.timestamp_seconds("epoch")).drop("epoch")
+
+
+@pytest.fixture(scope="module")
+def skewed_index(spark, skewed_corpus, tmp_path_factory):
+    """TWO segments of the skewed corpus (incremental append), so pruning is
+    exercised where round 1's (term, block_id) join fanned out duplicate
+    block ids across segments."""
+    from planet_search_spark.indexing.build import incremental_update
+    out = str(tmp_path_factory.mktemp("skewidx"))
+    build_index(spark, skewed_corpus, out, n_buckets=4, block_size=16,
+                n_groups=1)
+    incremental_update(spark, out, skewed_corpus.withColumn(
+        "conv_id", F.concat(F.col("conv_id"), F.lit("_s2"))), n_groups=1)
+    return out
+
+
+def test_wand_actually_prunes_multisegment(spark, skewed_index):
+    """Pruning must DROP blocks (not just run) and stay rank/score-identical
+    to the unpruned path on a multi-segment index."""
+    stats: dict = {}
+    pruned = E.bm25_topk(spark, skewed_index, "the", k=5, prune=True,
+                         hydrate=False, prune_stats=stats).toPandas()
+    full = E.bm25_topk(spark, skewed_index, "the", k=5, prune=False,
+                       hydrate=False).toPandas()
+    assert not stats["gated"] and stats["theta"] > 0.0
+    assert stats["blocks_kept"] < stats["blocks_total"], \
+        f"no block pruned: {stats}"
+    assert list(pruned.doc_id) == list(full.doc_id)
+    assert (pruned.score - full.score).abs().max() < 1e-12
+
+
+def test_prune_disabled_under_require_all(spark, skewed_index):
+    """θ lower-bounds the k-th DISJUNCTIVE score, so pruning must be off for
+    conjunctive queries: a 'the zz' AND-match in a pruned 'the' block would
+    lose that term's postings and vanish. k=40 reaches into the long docs
+    whose blocks disjunctive pruning provably drops (test above)."""
+    stats: dict = {}
+    pruned = E.bm25_topk(spark, skewed_index, "the zz", k=40,
+                         require_all=True, prune=True, hydrate=False,
+                         prune_stats=stats).toPandas()
+    full = E.bm25_topk(spark, skewed_index, "the zz", k=40,
+                       require_all=True, prune=False, hydrate=False).toPandas()
+    assert stats["blocks_kept"] == stats["blocks_total"]
+    assert len(full) == 40 and list(pruned.doc_id) == list(full.doc_id)
+    assert (pruned.score - full.score).abs().max() < 1e-12
+
+
+def test_wand_gate_skips_uniform_queries(spark, index_dir):
+    """Similar-bound hot-term OR queries fail the 2·M > total selectivity
+    gate (needs ≥3 similar terms) — pruning is skipped entirely (round 1
+    regression: unconditional pruning was a net loss on exactly these)."""
     idx = E.open_index(index_dir)
-    terms = sorted(set(A.py_tokens("the data spark")))
-    blocks = E._load_blocks(spark, idx, terms)
-    n_all = blocks.count()
-    assert n_all > 3  # multi-block by construction (block_size=16)
+    terms = sorted(set(A.py_tokens("the data error")))
+    stats_rows = E._collect_term_stats(spark, idx, terms)
+    mx = [float(r["max_score_ub"]) for r in stats_rows]
+    assert 2.0 * max(mx) <= sum(mx) + 1e-12, \
+        "fixture terms must have similar upper bounds for this test"
+    stats: dict = {}
+    E.bm25_topk(spark, index_dir, "the data error", k=10, prune=True,
+                hydrate=False, prune_stats=stats).toPandas()
+    assert stats["gated"] and stats["blocks_kept"] == stats["blocks_total"]
 
 
 def test_phrase_positional_matches_keyword(spark, corpus, index_dir):

@@ -33,11 +33,14 @@ def test_postings_scan_prunes_buckets_and_pushes_terms(spark, small_index):
     assert "PushedFilters: [In(term" in plan
 
 
-def test_bm25_scores_uses_broadcast_joins(spark, small_index):
+def test_bm25_scores_plan_is_join_free(spark, small_index):
+    """Per-term df ships as a literal-map projection (collected once, one
+    row per query term), so the scoring plan has NO join at all — stricter
+    than the round-1 broadcast-join assertion."""
     df = E.bm25_scores(spark, small_index, "error timeout")
     plan = _plan(df)
-    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
-    assert "SortMergeJoin" not in plan, "small dims must broadcast, not SMJ"
+    assert "Join" not in plan, "scoring must be a pure projection"
+    assert "SortMergeJoin" not in plan
 
 
 def test_topk_is_take_ordered(spark, small_index):

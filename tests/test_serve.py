@@ -42,6 +42,28 @@ def test_serve_matches_engine(spark, index_dir, query, require_all):
            [(w["doc_id"], round(w["score"], 10)) for w in want], query
 
 
+def test_serve_boundary_ties_break_by_doc_id(spark, tmp_path):
+    """Many docs tie exactly at the k-boundary score: the serving reader
+    must cut by (score desc, doc_id asc) like the engine, not by whatever
+    argpartition left at position k."""
+    from pyspark.sql import functions as F
+    rows = [("c", t, "user", "tiebreak zz", None, 1_767_225_600 + t)
+            for t in range(30)]
+    tx = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, epoch bigint") \
+        .withColumn("ts", F.timestamp_seconds("epoch")).drop("epoch")
+    out = str(tmp_path / "tieidx")
+    build_index(spark, tx, out, n_buckets=2, block_size=8, n_groups=1)
+    srv = LocalSearcher(out)
+    got = srv.bm25_topk("tiebreak", k=10, hydrate=False)
+    assert [g["doc_id"] for g in got] == list(range(10))
+    want = [r.asDict() for r in
+            E.bm25_topk(spark, out, "tiebreak", k=10, hydrate=False,
+                        prune=False).collect()]
+    assert [g["doc_id"] for g in got] == [w["doc_id"] for w in want]
+
+
 def test_serve_hydrates(index_dir):
     srv = LocalSearcher(index_dir)
     rows = srv.bm25_topk("error timeout", k=5)
