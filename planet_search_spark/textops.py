@@ -394,14 +394,31 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spark_simhash(docs)
 
 
+# Banding for Hamming <= 2 over 16 bits: by pigeonhole, 2 differing bits can
+# touch at most 2 of 4 disjoint 4-bit bands, so every qualifying pair shares
+# at least one band value — the single top-byte band of round 1 silently
+# missed any pair whose differing bits fell in the top byte. Candidates are
+# the per-band bucket self-joins, unioned and deduped, then EXACT-verified
+# with bit_count. (Scale path: a 64-bit simhash with 4x16-bit bands — same
+# plan shape, finer buckets; the 16-bit width is the frozen cross-engine
+# test spec.)
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+
+
 @_register("simhash_neardup", f"""
 WITH {_sql_simhash(_SQL_NEARDUP_CORPUS.strip() + ',').strip()},
-banded AS (SELECT doc_id, simhash, simhash >> 8 AS band FROM simhashes),
+banded AS (
+  SELECT doc_id, simhash, b.b AS band_id,
+         (simhash >> ({SIMHASH_BAND_BITS} * b.b)) & {(1 << SIMHASH_BAND_BITS) - 1} AS band_val
+  FROM simhashes, (VALUES (0), (1), (2), (3)) AS b(b)
+),
 pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          bit_count(xor(a.simhash, b.simhash)) AS hamming
   FROM banded a JOIN banded b
-    ON a.band = b.band AND a.doc_id < b.doc_id
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
 FROM pairs WHERE hamming <= 2
@@ -410,13 +427,26 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _neardup_corpus(spark, sf_dir) \
         .select("doc_id", A.tokens_col(F.col("text")).alias("toks")) \
         .where(F.size("toks") > 0)
-    sims = _spark_simhash(corpus) \
-        .withColumn("band", F.shiftright("simhash", 8))
-    a, b = sims.alias("a"), sims.alias("b")
-    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
+    return simhash_banded_pairs(_spark_simhash(corpus))
+
+
+def simhash_banded_pairs(sims: DataFrame) -> DataFrame:
+    """(doc_id, simhash) -> exact Hamming<=2 pairs via 4x4-bit banding."""
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    banded = sims.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[F.lit(i) for i in range(SIMHASH_BANDS)])
+                  ).alias("band_id")) \
+        .withColumn("band_val", F.expr(
+            f"shiftright(simhash, {SIMHASH_BAND_BITS} * band_id)"
+        ).bitwiseAND(F.lit(mask)))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+                    & (F.col("a.band_val") == F.col("b.band_val"))
                     & (F.col("a.doc_id") < F.col("b.doc_id")))
              .select(F.col("a.doc_id").alias("doc_a"),
                      F.col("b.doc_id").alias("doc_b"),
                      F.bit_count(F.col("a.simhash").bitwiseXOR(
-                         F.col("b.simhash"))).cast("int").alias("hamming")))
+                         F.col("b.simhash"))).cast("int").alias("hamming"))
+             .distinct())
     return pairs.where(F.col("hamming") <= 2)
