@@ -50,11 +50,27 @@ from .. import scoring as S
 from . import codec
 
 POSTINGS_SCHEMA = (
-    "bucket int, term string, block_id long, n_docs int, "
+    "bucket int, field int, term string, block_id long, n_docs int, "
     "first_doc long, last_doc long, max_score double, "
     "max_tf double, min_dl double, min_tf double, max_dl double, "
     "docs_bin binary, tfs_bin binary, dls_bin binary"
 )
+
+# Multi-field indexing (B8): every document contributes one token stream per
+# FIELD, each with its own posting lists, df, dl, and corpus stats — the
+# reference indexes name/alt_names per language the same way and queries
+# them as boosted clauses (match name.* boost 5 / alt_names boost 3,
+# points_search.json:70,90; mapping ElasticsearchHelper.java:128-154).
+# Transcript analogue: the turn body and a role+tool "metadata" field.
+FIELDS = {"text": 0, "meta": 1}           # frozen field ids
+FIELD_NAMES = {v: k for k, v in FIELDS.items()}
+FIELD_BOOSTS = {"text": 5.0, "meta": 3.0}  # points_search.json:70,90
+
+
+def meta_field_col():
+    """The 'meta' field source: role + tool tokens (concat_ws skips NULL
+    tool identically in Spark and DuckDB)."""
+    return F.concat_ws(" ", F.col("role"), F.col("tool"))
 
 
 def bucket_col(term_col, n_buckets: int):
@@ -108,17 +124,26 @@ def assign_doc_ids(tx: DataFrame, num_partitions: int = 0) -> DataFrame:
     return out
 
 
-def _encode_stream_fn(n: float, avgdl: float, block_size: int):
-    """mapInPandas over partitions pre-sorted by (term, salt, doc_id):
-    encodes MANY (term, salt) groups per Arrow batch fully vectorized
+def _encode_stream_fn(field_stats: dict, block_size: int):
+    """mapInPandas over partitions pre-sorted by (field, term, salt, doc_id):
+    encodes MANY (field, term, salt) groups per Arrow batch fully vectorized
     (codec.encode_blocks_multi) — no per-group pandas materialization, so a
     million singleton terms costs the same as one hot term of equal mass.
 
-    Groups can span Arrow batches within a partition; the trailing
-    (term, salt) group of each batch is carried into the next. The carry is
-    bounded by salt_target rows by construction (hot terms are salted).
+    ``field_stats``: field_id -> (n_docs, avgdl) — BM25 block bounds are
+    computed under each FIELD's own corpus statistics, exactly like
+    per-field Lucene similarities.
+
+    Groups can span Arrow batches within a partition; the trailing group of
+    each batch is carried into the next. The carry is bounded by
+    salt_target rows by construction (hot terms are salted).
     """
     k1, b = S.K1, S.B
+    max_f = max(field_stats) + 1
+    n_arr = np.zeros(max_f)
+    avgdl_arr = np.ones(max_f)
+    for fid, (n_f, avgdl_f) in field_stats.items():
+        n_arr[fid], avgdl_arr[fid] = n_f, avgdl_f
 
     def encode_body(pdf: pd.DataFrame):
         doc_ids = pdf["doc_id"].to_numpy(np.int64)
@@ -126,15 +151,19 @@ def _encode_stream_fn(n: float, avgdl: float, block_size: int):
         dls = pdf["dl"].to_numpy(np.int64)
         dfs = pdf["df"].to_numpy(np.float64)
         terms = pdf["term"].to_numpy()
+        fields = pdf["field"].to_numpy(np.int64)
         salts = pdf["salt"].to_numpy(np.int64)
         gs = np.ones(len(pdf), dtype=bool)
-        gs[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
+        gs[1:] = ((terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
+                  | (fields[1:] != fields[:-1]))
         blocks = codec.encode_blocks_multi(doc_ids, tfs, dls, gs, block_size)
         rs = blocks["row_start"]
+        n, avgdl = n_arr[fields], avgdl_arr[fields]
         idf = np.log(1.0 + (n - dfs + 0.5) / (dfs + 0.5))
         scores = idf * tfs / (tfs + k1 * (1 - b + b * dls / avgdl))
         return pd.DataFrame({
             "bucket": pdf["bucket"].to_numpy(np.int32)[rs],
+            "field": fields[rs].astype(np.int32),
             "term": terms[rs],
             "block_id": salts[rs] * 1_000_000 + blocks["seq"],
             "n_docs": blocks["n_docs"],
@@ -163,7 +192,9 @@ def _encode_stream_fn(n: float, avgdl: float, block_size: int):
                 continue
             last_t = pdf["term"].iloc[-1]
             last_s = pdf["salt"].iloc[-1]
-            tail = (pdf["term"] == last_t) & (pdf["salt"] == last_s)
+            last_f = pdf["field"].iloc[-1]
+            tail = ((pdf["term"] == last_t) & (pdf["salt"] == last_s)
+                    & (pdf["field"] == last_f))
             carry = pdf[tail]
             body = pdf[~tail]
             if len(body):
@@ -214,34 +245,50 @@ def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
 
     ids = assign_doc_ids(tx)
     base = ids.withColumn("doc_id", F.col("doc_id") + F.lit(doc_base))
+    # document universe = turns with a non-empty TEXT field (the analogue of
+    # the reference dropping unnamed features); the meta field indexes the
+    # same universe with its own dl/df/corpus stats
     docs = (base
             .withColumn("toks", A.tokens_col(F.col("text")))
             .where(F.size("toks") > 0)
-            .withColumn("dl", F.size("toks").cast("long")))
+            .withColumn("dl", F.size("toks").cast("long"))
+            .withColumn("mtoks", A.tokens_col(meta_field_col()))
+            .withColumn("mdl", F.size("mtoks").cast("long")))
     lap("ids")
 
-    # -- stage 2: doc_store, then corpus stats from the written parquet
-    #    (column-pruned dl scan — no extra tokenize pass, no object cache)
+    # -- stage 2: doc_store, then per-field corpus stats from the written
+    #    parquet (column-pruned dl/mdl scan — no extra tokenize pass)
     doc_store_path = os.path.join(seg_dir, "doc_store")
     if not done("stage_docs.done"):
         # kw_hash, not the raw keyword string: exact-match semantics only
         # need equality, and the md5 keeps doc_store narrow at 10^12 turns
         (docs.select(
             "doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "dl",
+            "mdl",
             F.md5(F.array_join("toks", " ")).alias("kw_hash"),
             S.static_prior(F.col("role"), F.col("dl").cast("double"),
                            F.col("tool")).alias("prior"))
          .write.mode("overwrite").parquet(doc_store_path))
         mark("stage_docs.done")
     _st = (spark.read.parquet(doc_store_path)
-           .agg(F.count("*").alias("n"), F.sum("dl").alias("s")).collect()[0])
+           .agg(F.count("*").alias("n"), F.sum("dl").alias("s"),
+                F.count(F.when(F.col("mdl") > 0, 1)).alias("mn"),
+                F.sum("mdl").alias("ms")).collect()[0])
     n_docs, sum_dl = int(_st["n"]), int(_st["s"])
     avgdl = sum_dl / n_docs
+    m_docs, m_sum = int(_st["mn"]), int(_st["ms"] or 0)
+    field_json = {"text": {"n_docs": n_docs, "sum_dl": sum_dl},
+                  "meta": {"n_docs": m_docs, "sum_dl": m_sum}}
+    # field_id -> (N, avgdl) for per-field BM25 bounds
+    field_stats = {FIELDS["text"]: (float(n_docs), avgdl),
+                   FIELDS["meta"]: (float(m_docs),
+                                    (m_sum / m_docs) if m_docs else 1.0)}
     stats_path = os.path.join(seg_dir, "corpus_stats.json")
     if not (resume and os.path.exists(stats_path)):
         with open(stats_path, "w") as f:
             json.dump({"n_docs": n_docs, "avgdl": avgdl,
                        "sum_dl": sum_dl, "doc_base": doc_base,
+                       "fields": field_json,
                        # ids are assigned over RAW rows (empty docs filtered
                        # later), so the next segment must start past the
                        # full consumed id span, not past n_docs
@@ -256,16 +303,26 @@ def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
     #    RLE encoding compresses (doc_id, term, pos) runs well; the hot
     #    scoring path never touches this table.
     pos_path = os.path.join(seg_dir, "pos_partial")
-    exploded = docs.select(
-        "doc_id", "dl", F.posexplode("toks").alias("pos", "term")) \
-        .withColumn("bucket", bucket_col(F.col("term"), n_buckets))
+    # one generator pass per doc over BOTH fields (struct-array explode →
+    # posexplode): each field's tokens are computed exactly once
+    fs = F.explode(F.array(
+        F.struct(F.lit(FIELDS["text"]).alias("field"),
+                 F.col("toks").alias("ftoks"), F.col("dl").alias("fdl")),
+        F.struct(F.lit(FIELDS["meta"]).alias("field"),
+                 F.col("mtoks").alias("ftoks"), F.col("mdl").alias("fdl")),
+    )).alias("fs")
+    exploded = (docs.select("doc_id", fs)
+                .select("doc_id", F.col("fs.field").alias("field"),
+                        F.col("fs.fdl").alias("dl"),
+                        F.posexplode("fs.ftoks").alias("pos", "term"))
+                .withColumn("bucket", bucket_col(F.col("term"), n_buckets)))
     if with_positions and not done("stage_pos.done"):
         # direct dynamic-partition write — no shuffle at all for the
         # positions table (the tf groupBy below is the build's only wide
-        # operation). In-task sort by (bucket, term) so parquet row-group
-        # min/max stats on term let phrase queries prune row groups.
+        # operation). In-task sort by (bucket, field, term) so parquet
+        # row-group min/max stats on term let phrase queries prune row groups.
         (exploded
-         .sortWithinPartitions("bucket", "term", "doc_id", "pos")
+         .sortWithinPartitions("bucket", "field", "term", "doc_id", "pos")
          .write.mode("overwrite").partitionBy("bucket").parquet(pos_path))
         mark("stage_pos.done")
     lap("pos_partial")
@@ -278,7 +335,7 @@ def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
     if not done("stage_tf.done"):
         src = (spark.read.parquet(pos_path).drop("pos")
                if with_positions else exploded.drop("pos"))
-        tf = (src.groupBy("bucket", "term", "doc_id", "dl")
+        tf = (src.groupBy("bucket", "field", "term", "doc_id", "dl")
               .agg(F.count("*").alias("tf")))
         (tf.repartition(n_buckets, "bucket")
            .write.mode("overwrite").partitionBy("bucket").parquet(tf_path))
@@ -292,13 +349,18 @@ def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
     term_dict_path = os.path.join(seg_dir, "term_dict")
     if not done("stage_termdict.done"):
         k1, b = S.K1, S.B
-        idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+        # per-FIELD corpus stats drive the bounds (literal-map lookup)
+        n_col = F.create_map(*[x for fid, (nf, _af) in field_stats.items()
+                               for x in (F.lit(fid), F.lit(nf))])[F.col("field")]
+        avgdl_col = F.create_map(*[x for fid, (_nf, af) in field_stats.items()
+                                   for x in (F.lit(fid), F.lit(af))])[F.col("field")]
+        idf = F.log(F.lit(1.0) + (n_col - F.col("df") + 0.5)
                     / (F.col("df") + 0.5))
         # upper bound: max tf paired with min dl dominates any real (tf, dl)
         smax = (idf * F.col("max_tf")
                 / (F.col("max_tf") + k1 * (1 - b + b * F.col("min_dl")
-                                           / F.lit(avgdl))))
-        (tf_stored.groupBy("bucket", "term")
+                                           / avgdl_col)))
+        (tf_stored.groupBy("bucket", "field", "term")
            .agg(F.count("*").cast("double").alias("df"),
                 F.sum("tf").cast("long").alias("cf"),
                 F.max("tf").cast("double").alias("max_tf"),
@@ -309,7 +371,8 @@ def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
         mark("stage_termdict.done")
     lap("term_dict")
 
-    term_df = spark.read.parquet(term_dict_path).select("term", "bucket", "df")
+    term_df = spark.read.parquet(term_dict_path).select(
+        "term", "field", "bucket", "df")
     # a planet-scale term dictionary must NOT be force-broadcast: join
     # strategy flips to shuffle join past a size threshold (both sides are
     # bucket-pruned per group job, so the shuffle is per-bucket-group only)
@@ -319,7 +382,7 @@ def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
     # -- stage 5: salted block encode, per bucket-group jobs ----------------
     groups = [sorted(range(n_buckets))[i::n_groups] for i in range(n_groups)]
     postings_path = os.path.join(seg_dir, "postings")
-    enc = _encode_stream_fn(float(n_docs), avgdl, block_size)
+    enc = _encode_stream_fn(field_stats, block_size)
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     built_groups = 0
     for gi, buckets in enumerate(groups):
@@ -329,15 +392,15 @@ def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
         if broadcast_terms:
             dim = F.broadcast(dim)
         part = (tf_stored.where(F.col("bucket").isin(buckets))  # partition pruning
-                .join(dim, "term")
+                .join(dim, ["field", "term"])
                 .withColumn("nsalt", F.greatest(
                     F.lit(1), F.ceil(F.col("df") / F.lit(float(salt_target)))
                 ).cast("int"))
                 .withColumn("salt", (F.col("doc_id") % F.col("nsalt")).cast("int")))
-        # the merge shuffle: co-locate each (term, salt) group, stream-sorted
+        # the merge shuffle: co-locate each (field, term, salt) group
         blocks = (part.repartition(max(n_shuffle // n_groups, len(buckets)),
-                                   "term", "salt")
-                  .sortWithinPartitions("term", "salt", "doc_id")
+                                   "field", "term", "salt")
+                  .sortWithinPartitions("field", "term", "salt", "doc_id")
                   .mapInPandas(enc, schema=POSTINGS_SCHEMA))
         # compact: block rows are ~1000x fewer than postings, so this extra
         # tiny shuffle buys one file per bucket — query-time file listing and
@@ -357,7 +420,9 @@ def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
         os.path.getsize(os.path.join(dp, fn))
         for dp, _, fns in os.walk(postings_path) for fn in fns)
     # skew ratio computed distributed — never collect the term dict
-    _sk = term_df.agg(F.max("df").alias("mx"), F.avg("df").alias("av")).collect()[0]
+    # (text field only: the tiny meta vocabulary would distort the ratio)
+    _sk = (term_df.where(F.col("field") == FIELDS["text"])
+           .agg(F.max("df").alias("mx"), F.avg("df").alias("av")).collect()[0])
     metrics = {
         "segment": segment, "n_docs": n_docs, "avgdl": avgdl,
         "n_terms": n_terms_total, "postings_bytes": post_bytes,

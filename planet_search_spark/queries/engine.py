@@ -68,23 +68,37 @@ from pyspark.sql import functions as F
 from .. import analysis as A
 from .. import scoring as S
 from ..indexing import codec
-from ..indexing.build import bucket_of
+from ..indexing.build import FIELDS, FIELD_BOOSTS, bucket_of
+
+TEXT_FIELD = FIELDS["text"]
 
 
 @dataclass
 class IndexMeta:
     """Multi-segment index (the Lucene-segment model): global BM25 stats
-    are exact because df / N / sum_dl are additive across segments."""
+    are exact because df / N / sum_dl are additive across segments —
+    per FIELD (B8 multi-field indexing)."""
     out_dir: str
     seg_dirs: list
-    n_docs: int          # global N = sum over segments
+    n_docs: int          # global N of the text field = sum over segments
     avgdl: float         # global: sum(sum_dl) / sum(n_docs), exact int sums
     n_buckets: int
     with_positions: bool
+    fields: dict         # field name -> {"n_docs": int, "sum_dl": int}
 
     @property
     def seg_dir(self) -> str:  # single-segment convenience (tests, hydration)
         return self.seg_dirs[0]
+
+    def field_stats(self) -> dict:
+        """field_id -> (N, avgdl) under global (cross-segment) stats."""
+        from ..indexing.build import FIELDS
+        out = {}
+        for name, st in self.fields.items():
+            n = st["n_docs"]
+            out[FIELDS[name]] = (float(n),
+                                 (st["sum_dl"] / n) if n else 1.0)
+        return out
 
 
 def open_index(out_dir: str) -> IndexMeta:
@@ -92,6 +106,7 @@ def open_index(out_dir: str) -> IndexMeta:
         segs = json.load(f)["segments"]
     seg_dirs, n_docs, sum_dl = [], 0, 0
     n_buckets = with_positions = None
+    fields: dict = {}
     for seg in segs:
         seg_dir = os.path.join(out_dir, "segments", seg)
         with open(os.path.join(seg_dir, "corpus_stats.json")) as f:
@@ -99,13 +114,19 @@ def open_index(out_dir: str) -> IndexMeta:
         seg_dirs.append(seg_dir)
         n_docs += cs["n_docs"]
         sum_dl += cs.get("sum_dl", int(round(cs["avgdl"] * cs["n_docs"])))
+        for fname, st in cs.get("fields", {}).items():
+            acc = fields.setdefault(fname, {"n_docs": 0, "sum_dl": 0})
+            acc["n_docs"] += st["n_docs"]
+            acc["sum_dl"] += st["sum_dl"]
         if n_buckets is not None and cs["n_buckets"] != n_buckets:
             raise ValueError("segments disagree on n_buckets")
         n_buckets = cs["n_buckets"]
         with_positions = cs["with_positions"] if with_positions is None \
             else (with_positions and cs["with_positions"])
+    if not fields:  # pre-field segment layout: text only
+        fields = {"text": {"n_docs": n_docs, "sum_dl": sum_dl}}
     return IndexMeta(out_dir, seg_dirs, n_docs, sum_dl / n_docs,
-                     n_buckets, with_positions)
+                     n_buckets, with_positions, fields)
 
 
 def _union_read(spark: SparkSession, idx: IndexMeta, sub: str) -> DataFrame:
@@ -123,28 +144,40 @@ def doc_store(spark: SparkSession, idx: IndexMeta) -> DataFrame:
     return _union_read(spark, idx, "doc_store")
 
 
-def _load_blocks(spark: SparkSession, idx: IndexMeta, terms: list[str]) -> DataFrame:
+def _field_lit_col(idx: IndexMeta, which: int):
+    """Per-field N (which=0) or avgdl (which=1) as a literal-map lookup."""
+    stats = idx.field_stats()
+    entries = [x for fid, pair in stats.items()
+               for x in (F.lit(fid), F.lit(pair[which]))]
+    return F.create_map(*entries)[F.col("field")]
+
+
+def _load_blocks(spark: SparkSession, idx: IndexMeta, terms: list[str],
+                 field_ids: tuple = (TEXT_FIELD,)) -> DataFrame:
     buckets = sorted({bucket_of(t, idx.n_buckets) for t in terms})
     return (_union_read(spark, idx, "postings")
             .where(F.col("bucket").isin(buckets))   # directory pruning
+            .where(F.col("field").isin(list(field_ids)))
             .where(F.col("term").isin(list(set(terms)))))
 
 
-def _term_stats(spark: SparkSession, idx: IndexMeta, terms: list[str]) -> DataFrame:
-    """Global per-term stats: df summed across segments; the WAND term
-    upper bound recomputed from per-segment (max_tf, min_dl) under the
-    GLOBAL (N, avgdl) — (max_tf, min_dl) dominates any real (tf, dl), so
-    the bound stays valid after appends."""
+def _term_stats(spark: SparkSession, idx: IndexMeta, terms: list[str],
+                field_ids: tuple = (TEXT_FIELD,)) -> DataFrame:
+    """Global per-(field, term) stats: df summed across segments; the WAND
+    term upper bound recomputed from per-segment (max_tf, min_dl) under the
+    GLOBAL per-field (N, avgdl) — (max_tf, min_dl) dominates any real
+    (tf, dl), so the bound stays valid after appends."""
     buckets = sorted({bucket_of(t, idx.n_buckets) for t in terms})
     td = (_union_read(spark, idx, "term_dict")
           .where(F.col("bucket").isin(buckets))
+          .where(F.col("field").isin(list(field_ids)))
           .where(F.col("term").isin(list(set(terms)))))
-    agg = td.groupBy("term").agg(F.sum("df").alias("df"),
-                                 F.max("max_tf").alias("max_tf"),
-                                 F.min("min_dl").alias("min_dl"))
+    agg = td.groupBy("field", "term").agg(F.sum("df").alias("df"),
+                                          F.max("max_tf").alias("max_tf"),
+                                          F.min("min_dl").alias("min_dl"))
     ub = S.bm25_term_score(F.col("max_tf"), F.col("df"), F.col("min_dl"),
-                           F.lit(float(idx.n_docs)), F.lit(float(idx.avgdl)))
-    return agg.select("term", "df", ub.alias("max_score_ub"))
+                           _field_lit_col(idx, 0), _field_lit_col(idx, 1))
+    return agg.select("field", "term", "df", ub.alias("max_score_ub"))
 
 
 def _decode_blocks(blocks: DataFrame) -> DataFrame:
@@ -164,10 +197,11 @@ def _decode_blocks(blocks: DataFrame) -> DataFrame:
             if not len(pdf):
                 continue
             outs = []
-            for t, g in pdf.groupby("term", sort=False):
+            for (fid, t), g in pdf.groupby(["field", "term"], sort=False):
                 n_docs = g["n_docs"].to_numpy(np.int64)
                 ids = codec.decode_positions(b"".join(g["docs_bin"]), n_docs)
                 outs.append(pd.DataFrame({
+                    "field": np.repeat(np.int32(fid), ids.size),
                     "term": np.repeat(t, ids.size),
                     "doc_id": ids,
                     "tf": codec.varbyte_decode(
@@ -176,38 +210,52 @@ def _decode_blocks(blocks: DataFrame) -> DataFrame:
                         b"".join(g["dls_bin"])).astype(np.float64)}))
             yield pd.concat(outs, ignore_index=True)
 
-    return (blocks.select("term", "n_docs", "docs_bin", "tfs_bin", "dls_bin")
-            .mapInPandas(decode,
-                         schema="term string, doc_id long, tf double, dl double"))
+    return (blocks.select("field", "term", "n_docs",
+                          "docs_bin", "tfs_bin", "dls_bin")
+            .mapInPandas(decode, schema="field int, term string, "
+                                        "doc_id long, tf double, dl double"))
+
+
+def _fkey(fid: int, term: str) -> str:
+    return f"{fid}:{term}"
+
+
+def _fkey_col():
+    return F.concat_ws(":", F.col("field").cast("string"), F.col("term"))
 
 
 def _df_map_col(df_map: dict[str, float]):
-    """term -> df as a literal-map lookup column (no join in the plan)."""
+    """(field:term) -> df as a literal-map lookup column (no join)."""
     if not df_map:  # no query term exists in the index: typed empty lookup
         return F.lit(None).cast("double")
-    entries = [x for t, d in df_map.items() for x in (F.lit(t), F.lit(d))]
-    return F.create_map(*entries)[F.col("term")]
+    entries = [x for k, d in df_map.items() for x in (F.lit(k), F.lit(d))]
+    return F.create_map(*entries)[_fkey_col()]
 
 
 def _scored_postings(idx: IndexMeta, blocks: DataFrame,
                      df_map: dict[str, float]) -> DataFrame:
-    """(term, doc_id, s) with exact BM25 per-term contributions.
+    """(field, term, doc_id, s) with exact per-field BM25 contributions.
 
-    ``df_map`` holds the GLOBAL per-term doc frequencies (summed across
-    segments, collected once — one tiny row per query term); the lookup is a
-    literal map projection, so scoring adds no join to the plan.
-    """
+    ``df_map`` holds the GLOBAL per-(field, term) doc frequencies (summed
+    across segments, collected once — one tiny row per query term); lookups
+    are literal map projections, so scoring adds no join to the plan, and
+    each field is scored under its OWN corpus stats (per-field Lucene
+    similarity semantics)."""
     decoded = _decode_blocks(blocks)
-    n, avgdl = float(idx.n_docs), float(idx.avgdl)
     return decoded.withColumn("s", S.bm25_term_score(
         F.col("tf"), _df_map_col(df_map), F.col("dl"),
-        F.lit(n), F.lit(avgdl)))
+        _field_lit_col(idx, 0), _field_lit_col(idx, 1)))
 
 
 def _collect_term_stats(spark: SparkSession, idx: IndexMeta,
-                        terms: list[str]) -> list:
-    """One row per query term: (term, df, max_score_ub) — global stats."""
-    return _term_stats(spark, idx, terms).collect()
+                        terms: list[str],
+                        field_ids: tuple = (TEXT_FIELD,)) -> list:
+    """One row per query (field, term): (field, term, df, max_score_ub)."""
+    return _term_stats(spark, idx, terms, field_ids).collect()
+
+
+def _stats_df_map(stats: list) -> dict[str, float]:
+    return {_fkey(r["field"], r["term"]): float(r["df"]) for r in stats}
 
 
 def _wand_prune_blocks(blocks: DataFrame, stats: list, idx: IndexMeta,
@@ -233,28 +281,30 @@ def _wand_prune_blocks(blocks: DataFrame, stats: list, idx: IndexMeta,
 
     if not stats:
         return blocks, {"gated": True, "theta": 0.0}
-    mx = {r["term"]: float(r["max_score_ub"]) for r in stats}
-    df_map = {r["term"]: float(r["df"]) for r in stats}
+    mx = {_fkey(r["field"], r["term"]): float(r["max_score_ub"])
+          for r in stats}
+    df_map = _stats_df_map(stats)
     total, m = sum(mx.values()), max(mx.values())
     if not force and 2.0 * m <= total + 1e-12:
         return blocks, {"gated": True, "theta": 0.0}
-    n, avgdl = float(idx.n_docs), float(idx.avgdl)
+    n_col, avgdl_col = _field_lit_col(idx, 0), _field_lit_col(idx, 1)
     df_col = _df_map_col(df_map)
     lb = S.bm25_term_score(F.col("min_tf"), df_col, F.col("max_dl"),
-                           F.lit(n), F.lit(avgdl))
+                           n_col, avgdl_col)
     # θ_t: scan t's blocks by descending lb until ≥ k docs covered (blocks
-    # of one term are doc-disjoint, also across segments); θ = max_t θ_t.
-    w = (Window.partitionBy("term").orderBy(F.desc("lb"))
+    # of one (field, term) are doc-disjoint, also across segments);
+    # θ = max_t θ_t.
+    w = (Window.partitionBy("field", "term").orderBy(F.desc("lb"))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    theta_df = (blocks.select("term", "n_docs", lb.alias("lb"))
+    theta_df = (blocks.select("field", "term", "n_docs", lb.alias("lb"))
                 .withColumn("cum", F.sum("n_docs").over(w))
                 .where(F.col("cum") >= k)
                 .agg(F.coalesce(F.max("lb"), F.lit(0.0)).alias("theta")))
     other_col = F.create_map(
         *[x for t, v in mx.items() for x in (F.lit(t), F.lit(total - v))]
-    )[F.col("term")]
+    )[_fkey_col()]
     ub = S.bm25_term_score(F.col("max_tf"), df_col, F.col("min_dl"),
-                           F.lit(n), F.lit(avgdl))
+                           n_col, avgdl_col)
     kept = (blocks.crossJoin(theta_df)
             .where((ub + other_col) >= F.col("theta") - F.lit(1e-12))
             .drop("theta"))
@@ -275,8 +325,7 @@ def bm25_scores(spark: SparkSession, out_dir: str, query: str, *,
             F.lit(0).cast("long").alias("nmatch"))
     blocks = _load_blocks(spark, idx, terms)
     stats = _collect_term_stats(spark, idx, terms)
-    df_map = {r["term"]: float(r["df"]) for r in stats}
-    scored = _scored_postings(idx, blocks, df_map)
+    scored = _scored_postings(idx, blocks, _stats_df_map(stats))
     agg = (scored.groupBy("doc_id")
            .agg(F.sum("s").alias("score"),
                 F.count_distinct("term").alias("nmatch")))
@@ -307,7 +356,6 @@ def bm25_topk(spark: SparkSession, out_dir: str, query: str, k: int = 20, *,
                                      F.lit(0.0).alias("score"))
     blocks = _load_blocks(spark, idx, terms)
     stats = _collect_term_stats(spark, idx, terms)
-    df_map = {r["term"]: float(r["df"]) for r in stats}
     do_prune = bool(prune) and not require_all
     blocks_kept, info = (_wand_prune_blocks(blocks, stats, idx, k,
                                             force=(prune == "force"),
@@ -318,7 +366,7 @@ def bm25_topk(spark: SparkSession, out_dir: str, query: str, k: int = 20, *,
         prune_stats.update(info)
         prune_stats["blocks_total"] = blocks.count()
         prune_stats["blocks_kept"] = blocks_kept.count()
-    scored = _scored_postings(idx, blocks_kept, df_map)
+    scored = _scored_postings(idx, blocks_kept, _stats_df_map(stats))
     agg = (scored.groupBy("doc_id")
            .agg(F.sum("s").alias("score"),
                 F.count_distinct("term").alias("nmatch")))
@@ -330,6 +378,41 @@ def bm25_topk(spark: SparkSession, out_dir: str, query: str, k: int = 20, *,
         top = (top.join(store, "doc_id")
                   .select("doc_id", "conv_id", "turn_idx", "role", "tool",
                           "ts", "score", "nmatch")
+                  .orderBy(F.desc("score"), F.asc("doc_id")))
+    return top
+
+
+def dismax_topk(spark: SparkSession, out_dir: str, query: str, k: int = 20, *,
+                boosts: dict | None = None, hydrate: bool = True) -> DataFrame:
+    """Boosted multi-field dis_max top-k (B8 + B15): per field f, the doc's
+    BM25 sum s_f is computed under f's OWN corpus stats, then
+    ``score = max_f boost_f * s_f`` (dis_max, tie_breaker 0.0) — the segment
+    form of the reference's ``dis_max`` over ``match name.* boost 5`` /
+    ``alt_names boost 3`` clauses (points_search.json:66-93).
+    """
+    idx = open_index(out_dir)
+    terms = sorted(set(A.py_tokens(query)))
+    boosts = boosts or FIELD_BOOSTS
+    field_ids = tuple(FIELDS[f] for f in boosts)
+    if not terms:
+        return spark.range(0).select(F.col("id").alias("doc_id"),
+                                     F.lit(0.0).alias("score"))
+    blocks = _load_blocks(spark, idx, terms, field_ids)
+    stats = _collect_term_stats(spark, idx, terms, field_ids)
+    scored = _scored_postings(idx, blocks, _stats_df_map(stats))
+    boost_col = F.create_map(
+        *[x for f, b in boosts.items()
+          for x in (F.lit(FIELDS[f]), F.lit(float(b)))])[F.col("field")]
+    per_field = (scored.groupBy("doc_id", "field")
+                 .agg(F.sum("s").alias("s_f"))
+                 .withColumn("boosted", boost_col * F.col("s_f")))
+    agg = per_field.groupBy("doc_id").agg(F.max("boosted").alias("score"))
+    top = agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    if hydrate:
+        store = doc_store(spark, idx)
+        top = (top.join(store, "doc_id")
+                  .select("doc_id", "conv_id", "turn_idx", "role", "tool",
+                          "ts", "score")
                   .orderBy(F.desc("score"), F.asc("doc_id")))
     return top
 
@@ -353,6 +436,7 @@ def phrase_match(spark: SparkSession, out_dir: str, phrase: str) -> DataFrame:
     buckets = sorted({bucket_of(t, idx.n_buckets) for t in uniq})
     raw = (_union_read(spark, idx, "pos_partial")
            .where(F.col("bucket").isin(buckets))
+           .where(F.col("field") == TEXT_FIELD)
            .where(F.col("term").isin(uniq)))
     per_term = (raw.groupBy("doc_id", "term")
                 .agg(F.sort_array(F.collect_list("pos")).alias("positions")))
@@ -469,9 +553,9 @@ def search(spark: SparkSession, out_dir: str, params) -> DataFrame:
     exp_df = spark.createDataFrame(pairs, "orig string, term string").distinct()
 
     blocks = _load_blocks(spark, idx, exp_terms)
-    df_map = {r["term"]: float(r["df"])
-              for r in _collect_term_stats(spark, idx, exp_terms)}
-    scored = _scored_postings(idx, blocks, df_map)
+    scored = _scored_postings(
+        idx, blocks,
+        _stats_df_map(_collect_term_stats(spark, idx, exp_terms)))
     # dis_max over expansions of each original term (B15), then sum (B16/B9)
     per_orig = (scored.join(F.broadcast(exp_df), "term")
                 .groupBy("doc_id", "orig").agg(F.max("s").alias("s")))

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from .. import analysis as A
 from .. import scoring as S
+from ..indexing.build import FIELD_BOOSTS, meta_field_col
 from ..transcripts import TRANSCRIPTS_CTE, transcripts_from_documents
 
 # Fixed epoch used as "now" by recency-scored queries (deterministic).
@@ -486,3 +487,117 @@ def q_function_score_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.select("conv_id", "turn_idx",
                          S.quantize(final).alias("score_q"))
+
+
+# -- 15/16. multi-field indexing + boosted dis_max over fields (B8 + B15) -----
+#
+# Two index fields per turn — 'text' (the body) and 'meta' (role + tool
+# tokens) — each with its OWN df / dl / corpus stats, the per-field Lucene
+# similarity model the reference configures for name/alt_names
+# (ElasticsearchHelper.java:128-154). dis_max composes them with boosts 5/3
+# (points_search.json:70,90). Universe = turns with non-empty text (matches
+# the index builder).
+
+Q_TERMS_MF = ["spark", "code", "assistant"]
+
+
+def field_docs(tx: DataFrame) -> DataFrame:
+    """(conv_id, turn_idx, field, toks, dl) — one row per (doc, field)."""
+    docs = tokenized_docs(tx)
+    text = docs.select("conv_id", "turn_idx", F.lit("text").alias("field"),
+                       "toks", "dl")
+    meta = (docs.withColumn("mtoks", A.tokens_col(meta_field_col()))
+            .where(F.size("mtoks") > 0)
+            .select("conv_id", "turn_idx", F.lit("meta").alias("field"),
+                    F.col("mtoks").alias("toks"),
+                    F.size("mtoks").cast("double").alias("dl")))
+    return text.unionByName(meta)
+
+
+def _field_scores(tx: DataFrame, terms: list[str]) -> DataFrame:
+    """(conv_id, turn_idx, field, score): per-field summed BM25 under that
+    field's corpus stats."""
+    fdocs = field_docs(tx)
+    ftf = (fdocs.select("conv_id", "turn_idx", "field", "dl",
+                        F.explode("toks").alias("term"))
+           .groupBy("conv_id", "turn_idx", "field", "dl", "term")
+           .agg(F.count("*").cast("double").alias("tf")))
+    qtf = ftf.where(F.col("term").isin(terms))
+    fdf = (ftf.groupBy("field", "term")
+           .agg(F.count("*").cast("double").alias("df"))
+           .where(F.col("term").isin(terms)))
+    fcorpus = fdocs.groupBy("field").agg(
+        F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl"))
+    return (qtf.join(F.broadcast(fdf), ["field", "term"])
+            .join(F.broadcast(fcorpus), "field")
+            .withColumn("s", S.bm25_term_score(
+                F.col("tf"), F.col("df"), F.col("dl"),
+                F.col("n"), F.col("avgdl")))
+            .groupBy("conv_id", "turn_idx", "field")
+            .agg(F.sum("s").alias("score")))
+
+
+_SQL_FIELD_SCORES = f"""{_SQL_BASE},
+fdocs AS (
+  SELECT conv_id, turn_idx, 'text' AS field, toks, dl FROM docs_n
+  UNION ALL
+  SELECT conv_id, turn_idx, 'meta' AS field, mtoks AS toks,
+         CAST(len(mtoks) AS DOUBLE) AS dl
+  FROM (SELECT conv_id, turn_idx,
+               {A.sql_tokens_expr("concat_ws(' ', role, tool)")} AS mtoks
+        FROM docs_n)
+  WHERE len(mtoks) > 0
+),
+fcorpus AS (
+  SELECT field, CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+  FROM fdocs GROUP BY field
+),
+ftf AS (
+  SELECT conv_id, turn_idx, field, dl, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT conv_id, turn_idx, field, dl, unnest(toks) AS term FROM fdocs)
+  GROUP BY conv_id, turn_idx, field, dl, term
+),
+fdfreq AS (
+  SELECT field, term, CAST(count(*) AS DOUBLE) AS df FROM ftf
+  GROUP BY field, term
+),
+fscores AS (
+  SELECT ftf.conv_id, ftf.turn_idx, ftf.field,
+         sum({S.SQL_BM25_TERM.format(tf='ftf.tf', df='fdfreq.df',
+                                     dl='ftf.dl', n='fcorpus.n',
+                                     avgdl='fcorpus.avgdl')}) AS score
+  FROM ftf
+  JOIN {_sql_terms_values(Q_TERMS_MF)} q ON ftf.term = q.term
+  JOIN fdfreq ON fdfreq.field = ftf.field AND fdfreq.term = ftf.term
+  JOIN fcorpus ON fcorpus.field = ftf.field
+  GROUP BY ftf.conv_id, ftf.turn_idx, ftf.field
+)"""
+
+
+@_register("bm25_multifield", _SQL_FIELD_SCORES + f"""
+SELECT conv_id, turn_idx, field,
+       {S.SQL_QUANTIZE.format(x='score')} AS score_q
+FROM fscores
+""")
+def q_bm25_multifield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tx = transcripts_from_documents(spark, sf_dir)
+    return (_field_scores(tx, Q_TERMS_MF)
+            .select("conv_id", "turn_idx", "field",
+                    S.quantize(F.col("score")).alias("score_q")))
+
+
+@_register("dismax_fields", _SQL_FIELD_SCORES + f"""
+SELECT conv_id, turn_idx,
+       {S.SQL_QUANTIZE.format(
+           x="max((CASE field WHEN 'text' THEN 5.0 ELSE 3.0 END) * score)")}
+       AS score_q
+FROM fscores GROUP BY conv_id, turn_idx
+""")
+def q_dismax_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tx = transcripts_from_documents(spark, sf_dir)
+    boost = F.create_map(
+        *[x for f, b in FIELD_BOOSTS.items()
+          for x in (F.lit(f), F.lit(float(b)))])[F.col("field")]
+    return (_field_scores(tx, Q_TERMS_MF)
+            .groupBy("conv_id", "turn_idx")
+            .agg(S.quantize(F.max(boost * F.col("score"))).alias("score_q")))

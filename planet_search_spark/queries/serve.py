@@ -56,8 +56,10 @@ class LocalSearcher:
     # -- postings ------------------------------------------------------------
 
     def _blocks(self, terms: list[str]):
+        from ..indexing.build import FIELDS
         buckets = sorted({bucket_of(t, self.n_buckets) for t in terms})
         filt = (ds.field("bucket").isin(buckets)
+                & (ds.field("field") == FIELDS["text"])
                 & ds.field("term").isin(terms))
         cols = ["term", "n_docs", "docs_bin", "tfs_bin", "dls_bin"]
         out = []

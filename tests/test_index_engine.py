@@ -168,6 +168,40 @@ def test_wand_gate_skips_uniform_queries(spark, index_dir):
     assert stats["gated"] and stats["blocks_kept"] == stats["blocks_total"]
 
 
+@pytest.mark.parametrize("query", ["error search tool", "assistant code",
+                                   "spark user"])
+def test_dismax_fields_segment_matches_logical(spark, corpus, index_dir, query):
+    """Multi-field dis_max (B8+B15): the segment engine's per-field BM25 +
+    boosted max must equal the logical raw-table definition — including
+    terms that only exist in the meta (role/tool) field."""
+    from planet_search_spark.indexing.build import FIELD_BOOSTS
+    from planet_search_spark.queries.logical import _field_scores
+    terms = sorted(set(A.py_tokens(query)))
+    boost = F.create_map(
+        *[x for f, b in FIELD_BOOSTS.items()
+          for x in (F.lit(f), F.lit(float(b)))])[F.col("field")]
+    want = (_field_scores(corpus, terms)
+            .groupBy("conv_id", "turn_idx")
+            .agg(S.quantize(F.max(boost * F.col("score"))).alias("score_q"))
+            .toPandas())
+    assert len(want) > 0
+    got = (E.dismax_topk(spark, index_dir, query, k=100000)
+           .select("conv_id", "turn_idx",
+                   S.quantize(F.col("score")).alias("score_q")).toPandas())
+    cols = ["conv_id", "turn_idx", "score_q"]
+    import pandas as pd
+    pd.testing.assert_frame_equal(
+        want[cols].sort_values(cols).reset_index(drop=True),
+        got[cols].sort_values(cols).reset_index(drop=True), check_dtype=False)
+
+
+def test_meta_field_only_terms_rank(spark, index_dir):
+    """A term that never occurs in any text body (the role 'system') must
+    still be retrievable through the meta field."""
+    got = E.dismax_topk(spark, index_dir, "system", k=5).toPandas()
+    assert len(got) == 5 and (got.role == "system").all()
+
+
 def test_phrase_positional_matches_keyword(spark, corpus, index_dir):
     phrase = "null pointer exception"
     idx = E.open_index(index_dir)

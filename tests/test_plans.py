@@ -30,7 +30,9 @@ def test_postings_scan_prunes_buckets_and_pushes_terms(spark, small_index):
     assert "PartitionFilters" in plan
     # bucket partition filter is present and non-trivial
     assert "bucket" in plan.split("PartitionFilters", 1)[1][:200]
-    assert "PushedFilters: [In(term" in plan
+    pushed = plan.split("PushedFilters", 1)[1][:300]
+    assert "In(term" in pushed
+    assert "EqualTo(field" in pushed or "field" in pushed  # field pushdown
 
 
 def test_bm25_scores_plan_is_join_free(spark, small_index):
