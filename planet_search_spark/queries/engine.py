@@ -466,6 +466,76 @@ def phrase_match(spark: SparkSession, out_dir: str, phrase: str) -> DataFrame:
     return per_doc.mapInPandas(check, schema="doc_id long")
 
 
+def phrase_prefix_match(spark: SparkSession, out_dir: str,
+                        phrase: str) -> DataFrame:
+    """Positional ``match_phrase_prefix`` (B13): the first n-1 terms match
+    positionally like :func:`phrase_match`, and the LAST term matches any
+    dictionary term with the given prefix (capped at MAX_EXPANSIONS like
+    ES's ``max_expansions: 200``) at position p + n - 1
+    (points_search.json:47,61; bbox_container.json:38-43).
+
+    Plan: prefix-expand against the term dictionary (row-group pruned range
+    scan), then one pruned ``pos_partial`` scan over exact terms +
+    expansions, per-doc position-chain intersect with the last slot being
+    the UNION of all expansions' positions.
+    """
+    idx = open_index(out_dir)
+    terms = A.py_tokens(phrase)
+    if not terms:
+        return spark.range(0).select(F.col("id").alias("doc_id"))
+    if not idx.with_positions:
+        raise ValueError("index built without positions")
+    exact, prefix = terms[:-1], terms[-1]
+    expansions = expand_prefix(spark, idx, prefix)
+    if not expansions:
+        return spark.range(0).select(F.col("id").alias("doc_id"))
+    exp_set = set(expansions)
+    all_terms = sorted(set(exact) | exp_set)
+    buckets = sorted({bucket_of(t, idx.n_buckets) for t in all_terms})
+    raw = (_union_read(spark, idx, "pos_partial")
+           .where(F.col("bucket").isin(buckets))
+           .where(F.col("field") == TEXT_FIELD)
+           .where(F.col("term").isin(all_terms)))
+    per_term = (raw.groupBy("doc_id", "term")
+                .agg(F.sort_array(F.collect_list("pos")).alias("positions")))
+    is_exp = F.col("term").isin(list(exp_set))
+    n_exact_req = len(set(exact))
+    per_doc = (per_term.groupBy("doc_id")
+               .agg(F.map_from_entries(
+                    F.collect_list(F.struct("term", "positions"))).alias("tp"),
+                    F.count_distinct(F.when(F.col("term").isin(
+                        list(set(exact))), F.col("term"))).alias("n_exact"),
+                    F.max(F.when(is_exp, 1).otherwise(0)).alias("has_exp"))
+               .where((F.col("n_exact") == n_exact_req)
+                      & (F.col("has_exp") == 1)))
+
+    exact_b, exp_b, n_b = list(exact), exp_set, len(terms)
+
+    def check(batches):
+        for pdf in batches:
+            ok = []
+            for r in pdf.itertuples(index=False):
+                tp = {t: np.asarray(v, dtype=np.int64)
+                      for t, v in r.tp.items()}
+                if exact_b:
+                    cand = tp[exact_b[0]]
+                    for i, t in enumerate(exact_b[1:], start=1):
+                        cand = cand[np.isin(cand + i, tp[t])]
+                        if cand.size == 0:
+                            break
+                    if cand.size:
+                        last = np.concatenate(
+                            [tp[t] for t in tp if t in exp_b] or
+                            [np.empty(0, dtype=np.int64)])
+                        cand = cand[np.isin(cand + (n_b - 1), last)]
+                    ok.append(cand.size > 0)
+                else:  # single-term phrase: any expansion occurrence matches
+                    ok.append(True)
+            yield pdf.loc[ok, ["doc_id"]] if len(pdf) else pdf[["doc_id"]]
+
+    return per_doc.mapInPandas(check, schema="doc_id long")
+
+
 # ---------------------------------------------------------------------------
 # Full points_search composition over the segment (B13-B27)
 # ---------------------------------------------------------------------------

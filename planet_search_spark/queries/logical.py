@@ -305,6 +305,34 @@ def q_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("conv_id", "turn_idx")
 
 
+# -- 8b. POSITIONAL phrase-prefix (B13 positional form): first terms adjacent
+#        by token position, LAST term matches by prefix at position p+n-1 ----
+
+PP_POS = ("spark", "merge", "slo")  # "spark merge slo*"
+
+
+@_register("phrase_prefix_positional", f"""{_SQL_BASE}
+SELECT conv_id, turn_idx
+FROM docs_n
+WHERE contains(' ' || kw || ' ', ' {' '.join(PP_POS)}')
+""")
+def q_phrase_prefix_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-POSITION implementation (not substring): exists i such that
+    toks[i..i+n-2] equal the exact terms and toks[i+n-1] starts with the
+    prefix — the raw-table definition the segment engine's
+    ``phrase_prefix_match`` is tested against. The SQL oracle's padded
+    ``contains`` over the space-joined keyword is positionally equivalent
+    by construction of ``kw``."""
+    docs = tokenized_docs(transcripts_from_documents(spark, sf_dir))
+    n = len(PP_POS)
+    conds = " AND ".join(
+        [f"toks[i + {j}] = '{t}'" for j, t in enumerate(PP_POS[:-1])]
+        + [f"startswith(toks[i + {n - 1}], '{PP_POS[-1]}')"])
+    cond = F.expr(f"exists(sequence(0, size(toks) - {n}), i -> {conds})")
+    return (docs.where(F.size("toks") >= n).where(cond)
+                .select("conv_id", "turn_idx"))
+
+
 # -- 9. prefix term expansion (autocomplete branch, max_expansions=200) -------
 
 PREFIX = "wi"

@@ -219,6 +219,47 @@ def test_phrase_positional_matches_keyword(spark, corpus, index_dir):
            sorted(map(tuple, want[key].values.tolist()))
 
 
+@pytest.mark.parametrize("phrase,prefix_last", [
+    ("null pointer exc", True),      # fixture phrase "null pointer exception"
+    ("out of mem", True),            # "out of memory"
+    ("connection reset by pee", True),
+])
+def test_phrase_prefix_positional_engine(spark, corpus, index_dir, phrase,
+                                         prefix_last):
+    """Engine positional phrase-prefix == raw-table positional definition
+    (first terms adjacent, last term by prefix)."""
+    idx = E.open_index(index_dir)
+    store = spark.read.parquet(os.path.join(idx.seg_dir, "doc_store"))
+    got = (E.phrase_prefix_match(spark, index_dir, phrase)
+           .join(store.select("doc_id", "conv_id", "turn_idx"), "doc_id")
+           .select("conv_id", "turn_idx").toPandas())
+    docs = tokenized_docs(corpus)
+    pad = F.concat(F.lit(" "), F.col("kw"), F.lit(" "))
+    want = docs.where(pad.contains(f" {phrase}")) \
+               .select("conv_id", "turn_idx").toPandas()
+    assert len(want) > 0, "fixture must contain the phrase"
+    key = ["conv_id", "turn_idx"]
+    assert sorted(map(tuple, got[key].values.tolist())) == \
+           sorted(map(tuple, want[key].values.tolist()))
+
+
+def test_phrase_prefix_single_term(spark, corpus, index_dir):
+    """One-term phrase-prefix degenerates to prefix search (any doc with
+    any dictionary expansion of the prefix)."""
+    idx = E.open_index(index_dir)
+    store = spark.read.parquet(os.path.join(idx.seg_dir, "doc_store"))
+    got = (E.phrase_prefix_match(spark, index_dir, "prefe")
+           .join(store.select("doc_id", "conv_id", "turn_idx"), "doc_id")
+           .select("conv_id", "turn_idx").toPandas())
+    docs = tokenized_docs(corpus)
+    want = (docs.where(F.exists("toks", lambda t: t.startswith("prefe")))
+            .select("conv_id", "turn_idx").toPandas())
+    assert len(want) > 0
+    key = ["conv_id", "turn_idx"]
+    assert sorted(map(tuple, got[key].values.tolist())) == \
+           sorted(map(tuple, want[key].values.tolist()))
+
+
 def test_doc_ids_stable_and_dense(spark, corpus):
     from planet_search_spark.indexing.build import assign_doc_ids
     a = assign_doc_ids(corpus).select("conv_id", "turn_idx", "doc_id").toPandas()
