@@ -547,27 +547,33 @@ def _term_dict_all(spark: SparkSession, idx: IndexMeta) -> DataFrame:
     return _union_read(spark, idx, "term_dict")
 
 
-def expand_prefix(spark: SparkSession, idx: IndexMeta, prefix: str) -> list[str]:
-    """Dictionary prefix expansion, capped + ordered like ES max_expansions
-    (term_dict min/max stats prune row groups on the term range)."""
+def expand_prefix(spark: SparkSession, idx: IndexMeta, prefix: str,
+                  field_ids: tuple = (TEXT_FIELD,)) -> list[str]:
+    """Dictionary prefix expansion over the queried FIELDS' vocabulary,
+    capped + ordered like ES max_expansions (term_dict min/max stats prune
+    row groups on the term range)."""
     td = _term_dict_all(spark, idx)
-    rows = (td.where(F.col("term").startswith(prefix))
-              .select("term").orderBy("term").limit(MAX_EXPANSIONS).collect())
+    rows = (td.where(F.col("field").isin(list(field_ids)))
+              .where(F.col("term").startswith(prefix))
+              .select("term").distinct()
+              .orderBy("term").limit(MAX_EXPANSIONS).collect())
     return [r["term"] for r in rows]
 
 
 def expand_fuzzy(spark: SparkSession, idx: IndexMeta, term: str,
-                 max_ed: int) -> list[str]:
+                 max_ed: int, field_ids: tuple = (TEXT_FIELD,)) -> list[str]:
     """AUTO fuzzy expansion with length blocking (|len diff| <= ed) —
     the dictionary-blocking strategy from SURVEY.md §7 hard-part 5."""
     if max_ed == 0:
         return [term]
     td = _term_dict_all(spark, idx)
     n = len(term)
-    rows = (td.where((F.length("term") >= n - max_ed)
+    rows = (td.where(F.col("field").isin(list(field_ids)))
+              .where((F.length("term") >= n - max_ed)
                      & (F.length("term") <= n + max_ed))
               .where(F.levenshtein(F.col("term"), F.lit(term)) <= max_ed)
-              .select("term").orderBy("term").limit(MAX_EXPANSIONS).collect())
+              .select("term").distinct()
+              .orderBy("term").limit(MAX_EXPANSIONS).collect())
     return [r["term"] for r in rows] or [term]
 
 
@@ -609,34 +615,60 @@ def search(spark: SparkSession, out_dir: str, params) -> DataFrame:
         return (store.select("doc_id", "conv_id", "turn_idx", "role", "tool",
                              "ts", F.lit(0.0).alias("score")).limit(0))
 
-    # expansion map: (orig, term)
+    field_ids = ((TEXT_FIELD, FIELDS["meta"]) if params.multifield
+                 else (TEXT_FIELD,))
+    # expansion map: (orig, term) — expansions drawn from the queried
+    # fields' dictionary
     pairs: list[tuple[str, str]] = []
     for i, t in enumerate(q_terms):
         if params.prefix and i == len(q_terms) - 1:
-            pairs += [(t, e) for e in (expand_prefix(spark, idx, t) or [t])]
+            pairs += [(t, e) for e in
+                      (expand_prefix(spark, idx, t, field_ids) or [t])]
         elif params.fuzzy:
             pairs += [(t, e) for e in
-                      expand_fuzzy(spark, idx, t, params.auto_fuzz(t))]
+                      expand_fuzzy(spark, idx, t, params.auto_fuzz(t),
+                                   field_ids)]
         else:
             pairs.append((t, t))
     exp_terms = sorted({e for _, e in pairs})
     exp_df = spark.createDataFrame(pairs, "orig string, term string").distinct()
-
-    blocks = _load_blocks(spark, idx, exp_terms)
+    blocks = _load_blocks(spark, idx, exp_terms, field_ids)
     scored = _scored_postings(
         idx, blocks,
-        _stats_df_map(_collect_term_stats(spark, idx, exp_terms)))
-    # dis_max over expansions of each original term (B15), then sum (B16/B9)
+        _stats_df_map(_collect_term_stats(spark, idx, exp_terms, field_ids)))
+    # dis_max over expansions of each original term per field (B15), then
+    # boosted should-sum across fields and terms (B16/B9/B8). AND requires
+    # every original term matched in at least one field.
     per_orig = (scored.join(F.broadcast(exp_df), "term")
-                .groupBy("doc_id", "orig").agg(F.max("s").alias("s")))
-    agg = (per_orig.groupBy("doc_id")
-           .agg(F.sum("s").alias("bm25"),
+                .groupBy("doc_id", "field", "orig").agg(F.max("s").alias("s")))
+    if params.multifield:
+        w = F.create_map(
+            *[x for f, b in FIELD_BOOSTS.items()
+              for x in (F.lit(FIELDS[f]), F.lit(float(b)))])[F.col("field")]
+    else:
+        w = F.lit(1.0)
+    agg = (per_orig.withColumn("ws", w * F.col("s"))
+           .groupBy("doc_id")
+           .agg(F.sum("ws").alias("bm25"),
                 F.count_distinct("orig").alias("nmatch")))
     if params.operator == "and":
         agg = agg.where(F.col("nmatch") == len(set(q_terms)))
 
     joined = agg.join(store, "doc_id")  # inner join applies B17 filters
-    final = (S2.saturation(F.col("bm25"))
+    bool_score = F.col("bm25")
+    if params.phrase_tiers:
+        # constant_score phrase tiers INSIDE the bool score, before the
+        # saturation function — points_search.json:16-27 (keyword phrase,
+        # boost 12) and :74-85 (contained phrase, boost 6); both clauses
+        # are independent should members like the reference's name/alt pair
+        contained = (phrase_match(spark, out_dir, params.query)
+                     .withColumn("tier6", F.lit(6.0)))
+        joined = joined.join(contained, "doc_id", "left")
+        bool_score = (bool_score
+                      + F.when(F.col("kw_hash") == q_kw_hash,
+                               F.lit(12.0)).otherwise(F.lit(0.0))
+                      + F.coalesce(F.col("tier6"), F.lit(0.0)))
+    final = (S2.saturation(bool_score)
              + F.lit(S2.W_PRIOR) * F.col("prior")
              + F.when(F.col("kw_hash") == q_kw_hash,
                       F.lit(S2.W_EXACT)).otherwise(F.lit(0.0)))

@@ -11,6 +11,9 @@ hasCenter?, lat, lng, zoom, place) mapped to the transcript domain:
 | hasCenter+geo   | recency (now_epoch) (points_search.json:131-158)       |
 | exact template  | exact (points_search_exact.json)                        |
 | size            | k (points_search.json:2)                                |
+| name/alt boosts | multifield (text x5 + meta x3, points_search.json:70,90)|
+| phrase tiers    | phrase_tiers (constant_score 12/6,                      |
+|                 |  points_search.json:16-27,74-85)                        |
 """
 from __future__ import annotations
 
@@ -29,6 +32,10 @@ class SearchParams:
     recency: bool = False
     now_epoch: float = 1_768_435_200.0   # 2026-01-15T00:00:00Z
     k: int = 20
+    # bool.should composition extras (contribute to the bool score BEFORE
+    # the function_score saturation, like the reference's should clauses):
+    multifield: bool = False      # text x5 + meta x3 instead of text x1
+    phrase_tiers: bool = False    # +12 exact keyword, +6 contained phrase
 
     def auto_fuzz(self, term: str) -> int:
         n = len(term)

@@ -384,24 +384,30 @@ def q_conv_container_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("best_turn")))
 
 
-# -- A9: broadcast hash-lookup join (QRank analogue, QRankLookup.java:80-94) --
-# small static dimension (tool -> popularity weight) broadcast onto turns;
-# like QRank, a missing key keeps the row (left join, default 0).
+# -- A9: broadcast hash-lookup join (QRank analogue, QRankLookup.java:33-94) --
+# small static dimension (tool -> popularity weight) loaded from a GZIPPED
+# CSV — the reference's QRank source shape (a ~363 MB qrank.csv.gz scanned
+# into an in-RAM map) — and broadcast onto turns; like QRank, a missing key
+# keeps the row (left join, default 0). At 100 TB the dimension stays a
+# broadcast: it scales with the entity universe, not the corpus.
 
-TOOL_RANK = [("search", 120), ("code", 80), ("browse", 40)]
+TOOL_RANK_CSV = "/root/repo/fixtures/tool_rank.csv.gz"
 
 
 @_register("broadcast_lookup", f"""
 WITH {TRANSCRIPTS_CTE.strip()},
-dim AS (SELECT * FROM (VALUES {', '.join(f"('{t}', {w})" for t, w in TOOL_RANK)})
-        AS d(tool, rank_weight))
+dim AS (SELECT tool, rank_weight
+        FROM read_csv('{TOOL_RANK_CSV}', header=true,
+                      columns={{'tool': 'VARCHAR', 'rank_weight': 'INT'}}))
 SELECT t.conv_id, t.turn_idx,
        CAST(coalesce(d.rank_weight, 0) AS BIGINT) AS rank_weight
 FROM transcripts t LEFT JOIN dim d ON t.tool = d.tool
 """)
 def q_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = (spark.read.option("header", True)
+           .schema("tool string, rank_weight int")
+           .csv(TOOL_RANK_CSV))
     tx = transcripts_from_documents(spark, sf_dir)
-    dim = spark.createDataFrame(TOOL_RANK, "tool string, rank_weight int")
     return (tx.join(F.broadcast(dim), "tool", "left")
             .select("conv_id", "turn_idx",
                     F.coalesce(F.col("rank_weight"), F.lit(0))

@@ -92,9 +92,10 @@ _PHRASES = [
 ]
 
 
-def synthesize_transcripts(spark: SparkSession, n_convs: int = 50,
-                           max_turns: int = 40, seed: int = 42) -> DataFrame:
-    """Deterministic adversarial transcript corpus as a Spark DataFrame."""
+def synthesize_rows(n_convs: int = 50, max_turns: int = 40,
+                    seed: int = 42) -> list:
+    """Deterministic adversarial transcript rows (pure Python — usable by
+    the corpus-case generator without a SparkSession)."""
     rng = random.Random(seed)
     rows = []
     ts0 = 1_767_225_600  # 2026-01-01T00:00:00Z
@@ -125,9 +126,16 @@ def synthesize_transcripts(spark: SparkSession, n_convs: int = 50,
             elif rng.random() < 0.02:
                 text = "   "       # whitespace-only
             rows.append((conv, t, role, text, tool, ts0 + c * 3600 + t * 60))
+    return rows
+
+
+def synthesize_transcripts(spark: SparkSession, n_convs: int = 50,
+                           max_turns: int = 40, seed: int = 42) -> DataFrame:
+    """Deterministic adversarial transcript corpus as a Spark DataFrame."""
     df = spark.createDataFrame(
-        rows, "conv_id string, turn_idx int, role string, text string, "
-              "tool string, epoch bigint")
+        synthesize_rows(n_convs, max_turns, seed),
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, epoch bigint")
     return df.withColumn("ts", F.timestamp_seconds("epoch")).drop("epoch")
 
 

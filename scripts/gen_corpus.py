@@ -1,0 +1,195 @@
+"""Deterministic declarative-corpus generator: expands fixtures/queries.json
+to 100+ cases across every search dimension (the scale analogue of the
+reference's 315-case search-relevance-cases.json; schema mirrors
+SearchCases.java:30-45 with the transcript-domain substitutions:
+ts-radius for geo-radius, (conv_id, turn_idx) for entity ids).
+
+Run from the repo root:  python3 scripts/gen_corpus.py
+Output is committed; tests never regenerate it.
+
+Trio-criterion cases (expectedTarget / expectedExactText / radiusSec /
+allowFailure) carry expectations computed ONCE here from the independent
+brute-force oracle over the frozen seed-11 corpus — the engine is then held
+to them like the reference holds ES to its curated case file
+(SearchCases.java:90-133).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from planet_search_spark import analysis as A  # noqa: E402
+from planet_search_spark.queries.params import SearchParams  # noqa: E402
+from planet_search_spark.transcripts import synthesize_rows  # noqa: E402
+from tests.oracle_bf import BruteForceIndex  # noqa: E402
+
+HOT = ["the", "error", "timeout", "retry", "spark", "data"]
+MID = ["shuffle", "partition", "broadcast", "executor", "postings",
+       "tokenize", "segment", "merge", "varbyte", "heap", "score", "query",
+       "checkpoint", "lineage", "metric", "skew", "salting"]
+EXOTIC = ["שָׁלוֹם", "café", "naïve", "Müller", "O’Brien", "STRASSE",
+          "привет", "مرحبا", "Łódź"]
+PHRASES = ["null pointer exception", "out of memory",
+           "connection reset by peer", "index out of range",
+           "stack trace follows"]
+
+
+def build_cases() -> list[dict]:
+    c: list[dict] = []
+
+    def add(id_, query, **kw):
+        c.append({"id": id_, "query": query, **kw})
+
+    # 1. OR pairs / triples (hot x mid coverage)
+    for i in range(12):
+        add(f"OR2-{i:02d}", f"{HOT[i % 6]} {MID[i]}", operator="or")
+    for i in range(6):
+        add(f"OR3-{i:02d}", f"{HOT[i]} {MID[2*i]} {MID[2*i+1]}", operator="or")
+    # 2. AND
+    for i in range(8):
+        add(f"AND2-{i:02d}", f"{HOT[i % 6]} {MID[i + 4]}", operator="and")
+    for i in range(4):
+        add(f"AND3-{i:02d}", f"error {MID[3*i]} {MID[3*i+1]}", operator="and")
+    # 3. single terms incl. exotic analyzer stress
+    for i, t in enumerate(HOT[:4] + EXOTIC[:6]):
+        add(f"SINGLE-{i:02d}", t, operator="or")
+    # 4. fuzzy AUTO (1- and 2-edit shapes, incl. misses)
+    for i, t in enumerate(["spak", "sparq", "merg", "shufle", "excutor",
+                           "plannet", "kiten", "sittng"]):
+        add(f"FUZZY-{i:02d}", t, operator="or", fuzzy=True)
+    add("FUZZY-MULTI-00", "errr timout", operator="or", fuzzy=True)
+    add("FUZZY-MULTI-01", "spak merg", operator="and", fuzzy=True)
+    # 5. prefix autocomplete (single + multi-term)
+    for i, p in enumerate(["pre", "prep", "shu", "tok", "chec", "sal",
+                           "me", "tra"]):
+        add(f"PREFIX-{i:02d}", p, operator="or", prefix=True)
+    for i, q in enumerate(["error pre", "data chec", "spark to",
+                           "timeout sal"]):
+        add(f"PREFIX-MULTI-{i:02d}", q, operator="or", prefix=True)
+    # 6. filters (B17)
+    roles = ["user", "assistant", "system", "tool"]
+    for i in range(4):
+        add(f"FILTER-ROLE-{i:02d}", f"error {MID[i]}", operator="or",
+            filterRole=roles[i])
+    for i, tool in enumerate(["search", "code", "browse"]):
+        add(f"FILTER-TOOL-{i:02d}", "error timeout", operator="or",
+            filterTool=tool)
+    add("FILTER-BOTH-00", "the data", operator="or",
+        filterRole="tool", filterTool="search")
+    # 7. recency decay (B23 analogue)
+    for i in range(4):
+        add(f"RECENCY-{i:02d}", f"{HOT[i]} {MID[i + 8]}", operator="or",
+            recency=True)
+    # 8. exact keyword path (points_search_exact)
+    add("EXACT-00", "error", exact=True)
+    add("EXACT-01", "null pointer exception", exact=True)
+    add("EXACT-02", "שָׁלוֹם", exact=True)
+    # 9. unknown / mixed
+    add("UNKNOWN-00", "zzznotaterm", operator="or")
+    add("UNKNOWN-01", "qqqmissing zzznotaterm", operator="and")
+    add("MIXED-UNKNOWN-00", "error zzznotaterm", operator="or")
+    add("MIXED-UNKNOWN-01", "error zzznotaterm", operator="and")
+    # 10. multifield (B8): meta-only terms, mixed, with expansions
+    for i, q in enumerate(["assistant", "search error", "tool browse",
+                           "user spark", "code timeout", "system"]):
+        add(f"MULTIFIELD-{i:02d}", q, operator="or", multifield=True)
+    add("MULTIFIELD-AND-00", "error code", operator="and", multifield=True)
+    add("MULTIFIELD-FUZZY-00", "assistnt", operator="or", multifield=True,
+        fuzzy=True)
+    add("MULTIFIELD-PREFIX-00", "error assis", operator="or",
+        multifield=True, prefix=True)
+    # 11. constant-score phrase tiers (B18 inside the composition)
+    for i, p in enumerate(PHRASES):
+        add(f"TIERS-{i:02d}", p, operator="or", phraseTiers=True)
+    add("TIERS-PARTIAL-00", "pointer exception", operator="or",
+        phraseTiers=True)
+    add("TIERS-MULTIFIELD-00", "out of memory", operator="or",
+        phraseTiers=True, multifield=True)
+    # 12. combined dimensions
+    add("COMBO-AND-FILTER-REC-00", "error retry", operator="and",
+        recency=True, filterRole="user")
+    add("COMBO-AND-FILTER-REC-01", "the timeout", operator="and",
+        recency=True, filterTool="search")
+    add("COMBO-FUZZY-FILTER-00", "spak", operator="or", fuzzy=True,
+        filterRole="assistant")
+    add("COMBO-FUZZY-REC-00", "merg timout", operator="or", fuzzy=True,
+        recency=True)
+    add("COMBO-PREFIX-REC-00", "error pre", operator="or", prefix=True,
+        recency=True)
+    add("COMBO-PREFIX-FILTER-00", "chec", operator="or", prefix=True,
+        filterTool="code")
+    add("COMBO-TIERS-REC-00", "out of memory", operator="or",
+        phraseTiers=True, recency=True)
+    add("COMBO-MF-TIERS-FUZZY-00", "null pointr exception", operator="or",
+        multifield=True, phraseTiers=True, fuzzy=True)
+    # analyzer-stress composition
+    add("COMBO-HEBREW-REC-00", "שָׁלוֹם café", operator="or", recency=True)
+    add("COMBO-APOS-AND-00", "Pike's O’Brien", operator="or")
+    return c
+
+
+def params_of(case: dict) -> SearchParams:
+    return SearchParams(
+        query=case["query"], operator=case.get("operator", "or"),
+        prefix=case.get("prefix", False), fuzzy=case.get("fuzzy", False),
+        exact=case.get("exact", False), filter_role=case.get("filterRole"),
+        filter_tool=case.get("filterTool"), recency=case.get("recency", False),
+        multifield=case.get("multifield", False),
+        phrase_tiers=case.get("phraseTiers", False), k=case.get("k", 20))
+
+
+def add_trio_cases(cases: list[dict], bf: BruteForceIndex) -> None:
+    """Pass-criterion cases (SearchCases.java:90-133 analogue): expected id
+    in top-N, OR exact keyword within ts-radius in top-N, OR any top-N hit
+    within ts-radius; allowFailure cases are skipped, not failed."""
+    def top(query, **kw):
+        rows = bf.search(params_of({"query": query, **kw})).to_dict("records")
+        return rows
+
+    byid = {(d["conv_id"], d["turn_idx"]): d for d in bf.docs}
+    t1 = top("null pointer exception", phraseTiers=True)[0]
+    cases.append({"id": "TRIO-TARGET-00", "query": "null pointer exception",
+                  "phraseTiers": True, "topN": 5,
+                  "expectedTarget": {"convId": t1["conv_id"],
+                                     "turnIdx": t1["turn_idx"]}})
+    t2 = top("checkpoint lineage")[0]
+    d2 = byid[(t2["conv_id"], t2["turn_idx"])]
+    cases.append({"id": "TRIO-EXACT-RADIUS-00", "query": "checkpoint lineage",
+                  "topN": 10, "radiusSec": 72 * 3600,
+                  "expectedTsEpoch": d2["ts_epoch"],
+                  "expectedExactText": d2["text"]})
+    t3 = top("varbyte heap")[0]
+    d3 = byid[(t3["conv_id"], t3["turn_idx"])]
+    cases.append({"id": "TRIO-ANY-RADIUS-00", "query": "varbyte heap",
+                  "topN": 10, "radiusSec": 24 * 3600,
+                  "expectedTsEpoch": d3["ts_epoch"]})
+    cases.append({"id": "TRIO-ALLOW-FAILURE-00", "query": "zzznotaterm",
+                  "topN": 5, "allowFailure": True,
+                  "expectedTarget": {"convId": "conv_does_not_exist",
+                                     "turnIdx": 0}})
+
+
+def main():
+    rows = [dict(zip(("conv_id", "turn_idx", "role", "text", "tool",
+                      "ts_epoch"), r))
+            for r in synthesize_rows(n_convs=50, seed=11)]
+    bf = BruteForceIndex(rows)
+    cases = build_cases()
+    add_trio_cases(cases, bf)
+    nonempty = sum(1 for case in cases
+                   if len(bf.search(params_of(case))))
+    assert len(cases) >= 100, len(cases)
+    assert nonempty >= int(0.85 * len(cases)), \
+        f"only {nonempty}/{len(cases)} cases match anything"
+    out = os.path.join(os.path.dirname(__file__), "..", "fixtures",
+                       "queries.json")
+    with open(out, "w") as f:
+        json.dump(cases, f, ensure_ascii=False, indent=1)
+    print(f"wrote {len(cases)} cases ({nonempty} non-empty)")
+
+
+if __name__ == "__main__":
+    main()

@@ -25,9 +25,12 @@ class BruteForceIndex:
             toks = A.py_tokens(r["text"])
             if not toks:
                 continue
+            mtoks = A.py_tokens(
+                " ".join(x for x in (r["role"], r.get("tool")) if x))
             self.docs.append({
                 **r, "toks": toks, "tf": Counter(toks), "dl": len(toks),
                 "kw": " ".join(toks),
+                "mtf": Counter(mtoks), "mdl": len(mtoks),
                 "doc_id": len(self.docs),
             })
         self.n = len(self.docs)
@@ -37,6 +40,14 @@ class BruteForceIndex:
             for t in set(d["toks"]):
                 self.df[t] += 1
         self.vocab = sorted(self.df)
+        # meta field: its OWN corpus stats (per-field BM25, B8)
+        self.m_n = sum(1 for d in self.docs if d["mdl"] > 0)
+        self.m_avgdl = (sum(d["mdl"] for d in self.docs)
+                        / max(self.m_n, 1))
+        self.mdf = Counter()
+        for d in self.docs:
+            for t in set(d["mtf"]):
+                self.mdf[t] += 1
 
     def bm25(self, term: str, d: dict) -> float:
         tf = d["tf"].get(term, 0)
@@ -46,6 +57,15 @@ class BruteForceIndex:
         idf = math.log(1.0 + (self.n - df + 0.5) / (df + 0.5))
         return idf * tf / (tf + S.K1 * (1 - S.B + S.B * d["dl"] / self.avgdl))
 
+    def bm25_meta(self, term: str, d: dict) -> float:
+        tf = d["mtf"].get(term, 0)
+        if tf == 0:
+            return 0.0
+        df = self.mdf[term]
+        idf = math.log(1.0 + (self.m_n - df + 0.5) / (df + 0.5))
+        return idf * tf / (tf + S.K1 * (1 - S.B
+                                        + S.B * d["mdl"] / self.m_avgdl))
+
     def prior(self, d: dict) -> float:
         base = S.ROLE_BASE.get(d["role"], 0.0)
         lognorm = min(1.0, math.log1p(d["dl"]) / math.log1p(S.PRIOR_DL_NORM))
@@ -54,14 +74,17 @@ class BruteForceIndex:
                             + 0.40 * lognorm + 0.10 * meta))
 
     def expand(self, term: str, params) -> list[str]:
+        vocab = self.vocab
+        if getattr(params, "multifield", False):
+            vocab = sorted(set(self.df) | set(self.mdf))
         if params.prefix_last:
-            cands = [t for t in self.vocab if t.startswith(term)]
+            cands = [t for t in vocab if t.startswith(term)]
             return cands[:200] or [term]
         if params.fuzzy:
             ed = params.auto_fuzz(term)
             if ed == 0:
                 return [term]
-            cands = sorted(t for t in self.vocab
+            cands = sorted(t for t in vocab
                            if abs(len(t) - len(term)) <= ed
                            and _lev(t, term) <= ed)
             return cands[:200] or [term]
@@ -96,16 +119,32 @@ class BruteForceIndex:
                 prefix_last = params.prefix and i == len(q_terms) - 1
                 fuzzy = params.fuzzy
                 auto_fuzz = params.auto_fuzz
+                multifield = getattr(params, "multifield", False)
             exp_by_orig.setdefault(t, set()).update(self.expand(t, _P))
+        multifield = getattr(params, "multifield", False)
+        phrase_tiers = getattr(params, "phrase_tiers", False)
         for d in docs:
-            per_orig = {orig: max((self.bm25(e, d) for e in exp), default=0.0)
-                        for orig, exp in exp_by_orig.items()}
-            matched = {o for o, s in per_orig.items() if s > 0.0}
+            # per-field dis_max over expansions, boosted should-sum (B8/B15)
+            per_orig_t = {o: max((self.bm25(e, d) for e in exp), default=0.0)
+                          for o, exp in exp_by_orig.items()}
+            if multifield:
+                per_orig_m = {o: max((self.bm25_meta(e, d) for e in exp),
+                                     default=0.0)
+                              for o, exp in exp_by_orig.items()}
+                bm = (5.0 * sum(per_orig_t.values())
+                      + 3.0 * sum(per_orig_m.values()))
+                matched = {o for o in per_orig_t
+                           if per_orig_t[o] > 0.0 or per_orig_m[o] > 0.0}
+            else:
+                bm = sum(per_orig_t.values())
+                matched = {o for o, s in per_orig_t.items() if s > 0.0}
             if not matched:
                 continue
             if params.operator == "and" and len(matched) < len(set(q_terms)):
                 continue
-            bm = sum(per_orig.values())
+            if phrase_tiers:
+                bm += 12.0 if d["kw"] == q_kw else 0.0
+                bm += 6.0 if f" {q_kw} " in f" {d['kw']} " else 0.0
             score = (S.W_TEXT * bm / (bm + S.K_TEXT)
                      + S.W_PRIOR * self.prior(d)
                      + (S.W_EXACT if d["kw"] == q_kw else 0.0))

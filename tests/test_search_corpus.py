@@ -62,6 +62,8 @@ def _params(case) -> SearchParams:
         filter_role=case.get("filterRole"),
         filter_tool=case.get("filterTool"),
         recency=case.get("recency", False),
+        multifield=case.get("multifield", False),
+        phrase_tiers=case.get("phraseTiers", False),
         k=case.get("k", 20))
 
 
@@ -71,18 +73,79 @@ def _normalize(rows):
     return sorted(out, key=lambda x: (-x[2], x[0], x[1]))
 
 
+def _trio_passes(case, got, bf) -> bool:
+    """Reference pass-criterion trio (SearchCases.java:90-133): expected id
+    in top-N, OR exact keyword within ts-radius in top-N, OR any top-N hit
+    within ts-radius. Returns True when ANY present criterion passes."""
+    from planet_search_spark import analysis as A
+    byid = {(d["conv_id"], d["turn_idx"]): d for d in bf.docs}
+    top = got[:case.get("topN", len(got))]
+    et = case.get("expectedTarget")
+    if et and any(r["conv_id"] == et["convId"]
+                  and r["turn_idx"] == et["turnIdx"] for r in top):
+        return True
+    rad, ets = case.get("radiusSec"), case.get("expectedTsEpoch")
+    in_radius = [r for r in top
+                 if rad is None or ets is None
+                 or abs(byid[(r["conv_id"], r["turn_idx"])]["ts_epoch"]
+                        - ets) <= rad]
+    if case.get("expectedExactText") is not None and rad is not None:
+        want_kw = A.py_keyword(case["expectedExactText"])
+        if any(byid[(r["conv_id"], r["turn_idx"])]["kw"] == want_kw
+               for r in in_radius):
+            return True
+    if rad is not None and ets is not None \
+            and case.get("expectedExactText") is None and in_radius:
+        return True
+    return False
+
+
 @pytest.mark.parametrize("case", CASES, ids=[c["id"] for c in CASES])
 def test_case_rank_identical(spark, bf, index_dir, case):
     p = _params(case)
     got = [r.asDict() for r in E.search(spark, index_dir, p).collect()]
     want = bf.search(p).to_dict("records")
     assert _normalize(got) == _normalize(want), case["id"]
+    # secondary criterion layer (trio cases only)
+    if any(k in case for k in
+           ("expectedTarget", "expectedExactText", "radiusSec")):
+        if not _trio_passes(case, got, bf):
+            if case.get("allowFailure"):
+                pytest.skip(f"{case['id']}: allowFailure")
+            pytest.fail(f"{case['id']}: no pass criterion satisfied")
 
 
-def test_corpus_has_nonempty_cases(bf):
-    nonempty = 0
-    for case in CASES:
-        if len(bf.search(_params(case))):
-            nonempty += 1
+def test_phrase_tier_outranks_higher_bm25(spark, tmp_path):
+    """VERDICT done-criterion: with phrase tiers on, a doc containing the
+    exact adjacent phrase must outrank a doc with strictly higher BM25 whose
+    terms are never adjacent — matching the oracle in both modes."""
+    rows = [
+        # adjacent phrase but NOT an exact keyword match (no W_EXACT bonus)
+        ("c", 0, "user", "alpha beta gamma", None, 1_767_225_600),
+        # higher tf and higher length-prior, terms never adjacent
+        ("c", 1, "user", "alpha x beta x alpha y beta y alpha z beta z",
+         None, 1_767_225_601),
+    ]
+    tx = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, epoch bigint") \
+        .withColumn("ts", F.timestamp_seconds("epoch")).drop("epoch")
+    out = str(tmp_path / "tieridx")
+    build_index(spark, tx, out, n_buckets=2, block_size=8, n_groups=1)
+    bf2 = BruteForceIndex([
+        dict(zip(("conv_id", "turn_idx", "role", "text", "tool", "ts_epoch"),
+                 r)) for r in rows])
+    for tiers, want_first in [(False, 1), (True, 0)]:
+        p = SearchParams(query="alpha beta", phrase_tiers=tiers, k=2)
+        got = [r.asDict() for r in E.search(spark, out, p).collect()]
+        want = bf2.search(p).to_dict("records")
+        assert _normalize(got) == _normalize(want)
+        assert got[0]["turn_idx"] == want_first, f"tiers={tiers}"
+
+
+def test_corpus_is_large_and_mostly_nonempty(bf):
+    assert len(CASES) >= 100
+    nonempty = sum(1 for case in CASES if len(bf.search(_params(case))))
     # the corpus must actually exercise most cases
-    assert nonempty >= len(CASES) - 4, f"only {nonempty} non-empty cases"
+    assert nonempty >= int(0.85 * len(CASES)), \
+        f"only {nonempty} non-empty cases"
