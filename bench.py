@@ -67,10 +67,21 @@ def main():
             spark, out_dir, "spark merge window", k=20, prune=True).collect())
         timed("bm25_topk_nopune", lambda: E.bm25_topk(
             spark, out_dir, "spark merge window", k=20, prune=False).collect())
+        # single stopword top-k: the static block-max win — θ from the
+        # hottest blocks exceeds cold blocks' upper bounds, so most of the
+        # stopword's posting blocks are never decoded
+        timed("bm25_topk_wand_stopword", lambda: E.bm25_topk(
+            spark, out_dir, "the", k=20, prune=True).collect())
+        timed("bm25_topk_noprune_stopword", lambda: E.bm25_topk(
+            spark, out_dir, "the", k=20, prune=False).collect())
         timed("bm25_and_topk", lambda: E.bm25_topk(
             spark, out_dir, "spark merge", k=20, require_all=True).collect())
+        timed("dismax_multifield", lambda: E.dismax_topk(
+            spark, out_dir, "spark search assistant", k=20).collect())
         timed("phrase_positional", lambda: E.phrase_match(
             spark, out_dir, "stream table hash").collect())
+        timed("phrase_prefix_positional", lambda: E.phrase_prefix_match(
+            spark, out_dir, "stream table ha").collect())
 
         # low-latency serving path (no Spark jobs; same segments)
         import statistics

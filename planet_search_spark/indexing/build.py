@@ -56,6 +56,13 @@ POSTINGS_SCHEMA = (
     "docs_bin binary, tfs_bin binary, dls_bin binary"
 )
 
+# Encoder output BEFORE the term string is re-attached: the big merge
+# shuffle carries a dictionary-encoded int64 ``term_id`` instead of the raw
+# term string (strings dominated the wide-stage shuffle bytes and sort-key
+# comparisons in round-1 scaling measurements); the id -> term join happens
+# on BLOCK rows, which are ~2 orders of magnitude fewer than postings.
+ENCODED_SCHEMA = POSTINGS_SCHEMA.replace("term string", "term_id long")
+
 # Multi-field indexing (B8): every document contributes one token stream per
 # FIELD, each with its own posting lists, df, dl, and corpus stats — the
 # reference indexes name/alt_names per language the same way and queries
@@ -150,12 +157,13 @@ def _encode_stream_fn(field_stats: dict, block_size: int):
         tfs = pdf["tf"].to_numpy(np.int64)
         dls = pdf["dl"].to_numpy(np.int64)
         dfs = pdf["df"].to_numpy(np.float64)
-        terms = pdf["term"].to_numpy()
+        tids = pdf["term_id"].to_numpy(np.int64)
         fields = pdf["field"].to_numpy(np.int64)
         salts = pdf["salt"].to_numpy(np.int64)
+        # term_id is unique per (field, term), so (term_id, salt) changes
+        # cover field changes too
         gs = np.ones(len(pdf), dtype=bool)
-        gs[1:] = ((terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
-                  | (fields[1:] != fields[:-1]))
+        gs[1:] = (tids[1:] != tids[:-1]) | (salts[1:] != salts[:-1])
         blocks = codec.encode_blocks_multi(doc_ids, tfs, dls, gs, block_size)
         rs = blocks["row_start"]
         n, avgdl = n_arr[fields], avgdl_arr[fields]
@@ -164,7 +172,7 @@ def _encode_stream_fn(field_stats: dict, block_size: int):
         return pd.DataFrame({
             "bucket": pdf["bucket"].to_numpy(np.int32)[rs],
             "field": fields[rs].astype(np.int32),
-            "term": terms[rs],
+            "term_id": tids[rs],
             "block_id": salts[rs] * 1_000_000 + blocks["seq"],
             "n_docs": blocks["n_docs"],
             "first_doc": blocks["first_doc"],
@@ -190,11 +198,9 @@ def _encode_stream_fn(field_stats: dict, block_size: int):
             if len(pdf) == 0:
                 carry = None
                 continue
-            last_t = pdf["term"].iloc[-1]
+            last_t = pdf["term_id"].iloc[-1]
             last_s = pdf["salt"].iloc[-1]
-            last_f = pdf["field"].iloc[-1]
-            tail = ((pdf["term"] == last_t) & (pdf["salt"] == last_s)
-                    & (pdf["field"] == last_f))
+            tail = (pdf["term_id"] == last_t) & (pdf["salt"] == last_s)
             carry = pdf[tail]
             body = pdf[~tail]
             if len(body):
@@ -213,6 +219,7 @@ def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
                 n_groups: int = 4, resume: bool = False,
                 segment: str = "seg_1", doc_base: int = 0,
                 append: bool = False,
+                broadcast_term_limit: int = 2_000_000,
                 fail_after_group: int = -1) -> dict:
     """Build (or resume) one index segment; returns build metrics.
 
@@ -360,24 +367,33 @@ def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
         smax = (idf * F.col("max_tf")
                 / (F.col("max_tf") + k1 * (1 - b + b * F.col("min_dl")
                                            / avgdl_col)))
+        from pyspark.sql.window import Window
+        # dense int64 term_id per bucket (deterministic: ordered by
+        # (field, term); globally unique via the bucket prefix). The encode
+        # shuffle carries this id instead of the term string; per-bucket
+        # windows stay bounded because n_buckets scales with the cluster.
+        w_tid = Window.partitionBy("bucket").orderBy("field", "term")
         (tf_stored.groupBy("bucket", "field", "term")
            .agg(F.count("*").cast("double").alias("df"),
                 F.sum("tf").cast("long").alias("cf"),
                 F.max("tf").cast("double").alias("max_tf"),
                 F.min("dl").cast("double").alias("min_dl"))
            .withColumn("max_score_ub", smax)
+           .withColumn("term_id",
+                       F.row_number().over(w_tid).cast("long")
+                       + F.col("bucket").cast("long") * F.lit(1 << 40))
            .write.mode("overwrite").partitionBy("bucket")
            .parquet(term_dict_path))
         mark("stage_termdict.done")
     lap("term_dict")
 
     term_df = spark.read.parquet(term_dict_path).select(
-        "term", "field", "bucket", "df")
+        "term", "field", "bucket", "df", "term_id")
     # a planet-scale term dictionary must NOT be force-broadcast: join
     # strategy flips to shuffle join past a size threshold (both sides are
     # bucket-pruned per group job, so the shuffle is per-bucket-group only)
     n_terms_total = term_df.count()
-    broadcast_terms = n_terms_total <= 2_000_000 // max(n_groups, 1)
+    broadcast_terms = n_terms_total <= broadcast_term_limit // max(n_groups, 1)
 
     # -- stage 5: salted block encode, per bucket-group jobs ----------------
     groups = [sorted(range(n_buckets))[i::n_groups] for i in range(n_groups)]
@@ -389,19 +405,40 @@ def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
         if done(f"group_{gi}.done"):
             continue
         dim = term_df.where(F.col("bucket").isin(buckets)).drop("bucket")
-        if broadcast_terms:
-            dim = F.broadcast(dim)
-        part = (tf_stored.where(F.col("bucket").isin(buckets))  # partition pruning
-                .join(dim, ["field", "term"])
+        tf_g = tf_stored.where(F.col("bucket").isin(buckets))  # partition pruning
+        lean_cols = ["bucket", "field", "term_id", "doc_id", "dl",
+                     "tf", "df", "salt"]
+        # dim join: broadcast under the vocab threshold, shuffle join past
+        # it (planet-scale dictionaries must not be force-broadcast)
+        dim_j = F.broadcast(dim) if broadcast_terms else dim
+        part = (tf_g.join(dim_j, ["field", "term"])
                 .withColumn("nsalt", F.greatest(
-                    F.lit(1), F.ceil(F.col("df") / F.lit(float(salt_target)))
+                    F.lit(1),
+                    F.ceil(F.col("df") / F.lit(float(salt_target)))
                 ).cast("int"))
-                .withColumn("salt", (F.col("doc_id") % F.col("nsalt")).cast("int")))
-        # the merge shuffle: co-locate each (field, term, salt) group
-        blocks = (part.repartition(max(n_shuffle // n_groups, len(buckets)),
-                                   "field", "term", "salt")
-                  .sortWithinPartitions("field", "term", "salt", "doc_id")
-                  .mapInPandas(enc, schema=POSTINGS_SCHEMA))
+                .withColumn("salt",
+                            (F.col("doc_id") % F.col("nsalt")).cast("int")))
+        # the merge shuffle: co-locate each (term_id, salt) group — hot
+        # terms salted so no task sees more than ~salt_target rows of one
+        # term. The explicit select keeps the shuffle row ALL-INT (no term
+        # string, no nsalt): fewer shuffle bytes, int64 sort keys instead
+        # of string comparisons, and no Arrow string transfer into the
+        # Python encoder (term strings re-attached on block rows below).
+        stream = (part.select(*lean_cols)
+                  .repartition(max(n_shuffle // n_groups, len(buckets)),
+                               "term_id", "salt")
+                  .sortWithinPartitions("term_id", "salt", "doc_id"))
+        encoded = stream.mapInPandas(enc, schema=ENCODED_SCHEMA)
+        # re-attach the term string on BLOCK rows (orders of magnitude fewer
+        # than postings; ~vocab-sized for a long-tail dictionary)
+        names = (term_df.where(F.col("bucket").isin(buckets))
+                 .select("term_id", "term"))
+        names = F.broadcast(names) if broadcast_terms \
+            else names.hint("SHUFFLE_HASH")
+        blocks = encoded.join(names, "term_id").select(
+            "bucket", "field", "term", "block_id", "n_docs", "first_doc",
+            "last_doc", "max_score", "max_tf", "min_dl", "min_tf", "max_dl",
+            "docs_bin", "tfs_bin", "dls_bin")
         # compact: block rows are ~1000x fewer than postings, so this extra
         # tiny shuffle buys one file per bucket — query-time file listing and
         # footer reads stay O(buckets), not O(buckets x encode tasks)

@@ -18,9 +18,10 @@ Read path (mirrors the ES search template execution, SURVEY.md §3.2):
 
 Block-max WAND (the Lucene-side top-k pruning the reference gets for free,
 SURVEY.md §4 "Lucene-side (delegated)") as data-level pruning — fully
-DISTRIBUTED over block metadata (never a per-block driver collect; the only
-driver-side state is one row per QUERY TERM — θ is a one-row aggregate
-cross-joined into the keep filter, so pruning adds zero extra Spark jobs):
+DISTRIBUTED over block metadata (never a per-block driver collect; driver
+state is one row per QUERY TERM plus a bounded top-``4k`` block-bound heap
+— θ becomes a literal in a plain filter, adding no scan/join/window to the
+main job):
 
 * per block both bounds are recomputed under GLOBAL corpus stats from the
   stored (max_tf, min_dl) / (min_tf, max_dl) pairs — so they stay valid
@@ -261,24 +262,27 @@ def _stats_df_map(stats: list) -> dict[str, float]:
 def _wand_prune_blocks(blocks: DataFrame, stats: list, idx: IndexMeta,
                        k: int, *, force: bool = False,
                        want_theta: bool = False):
-    """Block-max WAND pruning, distributed end to end and LAZY.
+    """Block-max WAND pruning — distributed θ with a BOUNDED driver state.
 
-    Returns ``(blocks_kept, info)``. θ is a one-row aggregate over block
-    METADATA (per-term descending-lb window + cumulative doc count) that is
-    CROSS-JOINED into the keep filter — no separate driver action, no
-    per-block collect (the round-1 design collected all block metadata,
-    which dies on a stopword at 10^12 turns, and its separate θ job was a
-    measured net loss on hot-term queries). Driver-side state: one row per
-    query term.
+    Returns ``(blocks_kept, info)``. θ comes from one tiny extra job: a
+    TakeOrderedAndProject heap over block METADATA (column-pruned scan of
+    the three stat columns) collecting only the top ``max(64, 4k)`` lower
+    bounds — never one row per block (the round-1 design collected ALL
+    block metadata, which dies on a stopword at 10^12 turns). θ is then a
+    literal in a plain column filter on the block relation: the main job
+    gains no extra scan, no join, no window.
+
+    θ_t scans term t's blocks by descending lb until ≥ k docs are covered
+    (blocks of one (field, term) are doc-disjoint, also across segments);
+    θ = max_t θ_t. Computing θ_t over the global-top-L prefix only WEAKENS
+    θ (prefixes of each term's descending-lb order), never invalidates it.
 
     Static gate: pruning any block of term t needs other(t) = total − mx(t)
     < θ ≤ M, and min_t other(t) = total − M, so 2·M ≤ total proves no block
-    can ever be pruned — skip even the in-plan θ (e.g. three similar hot
+    can ever be pruned — skip the θ job entirely (e.g. three similar hot
     terms). ``force=True`` bypasses the gate (tests); ``want_theta``
-    materializes θ eagerly for assertions.
+    records θ for assertions.
     """
-    from pyspark.sql.window import Window
-
     if not stats:
         return blocks, {"gated": True, "theta": 0.0}
     mx = {_fkey(r["field"], r["term"]): float(r["max_score_ub"])
@@ -291,27 +295,24 @@ def _wand_prune_blocks(blocks: DataFrame, stats: list, idx: IndexMeta,
     df_col = _df_map_col(df_map)
     lb = S.bm25_term_score(F.col("min_tf"), df_col, F.col("max_dl"),
                            n_col, avgdl_col)
-    # θ_t: scan t's blocks by descending lb until ≥ k docs covered (blocks
-    # of one (field, term) are doc-disjoint, also across segments);
-    # θ = max_t θ_t.
-    w = (Window.partitionBy("field", "term").orderBy(F.desc("lb"))
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    theta_df = (blocks.select("field", "term", "n_docs", lb.alias("lb"))
-                .withColumn("cum", F.sum("n_docs").over(w))
-                .where(F.col("cum") >= k)
-                .agg(F.coalesce(F.max("lb"), F.lit(0.0)).alias("theta")))
+    top = (blocks.select("field", "term", "n_docs", lb.alias("lb"))
+           .orderBy(F.desc("lb")).limit(max(64, 4 * k)).toPandas())
+    theta = 0.0
+    top["fkey"] = top["field"].astype(str) + ":" + top["term"]
+    for _t, g in top.groupby("fkey", sort=False):
+        cum = g["n_docs"].cumsum()          # descending-lb prefix per term
+        hit = g["lb"][cum >= k]
+        if len(hit):
+            theta = max(theta, float(hit.iloc[0]))
+    if theta <= 0.0:
+        return blocks, {"gated": False, "theta": 0.0}
     other_col = F.create_map(
         *[x for t, v in mx.items() for x in (F.lit(t), F.lit(total - v))]
     )[_fkey_col()]
     ub = S.bm25_term_score(F.col("max_tf"), df_col, F.col("min_dl"),
                            n_col, avgdl_col)
-    kept = (blocks.crossJoin(theta_df)
-            .where((ub + other_col) >= F.col("theta") - F.lit(1e-12))
-            .drop("theta"))
-    info = {"gated": False, "theta": None}
-    if want_theta:
-        info["theta"] = float(theta_df.collect()[0]["theta"])
-    return kept, info
+    kept = blocks.where((ub + other_col) >= F.lit(theta - 1e-12))
+    return kept, {"gated": False, "theta": theta}
 
 
 def bm25_scores(spark: SparkSession, out_dir: str, query: str, *,

@@ -291,6 +291,28 @@ def test_resume_after_crash_identical(spark, corpus, index_dir, tmp_path):
         assert (a.score - b.score).abs().max() < 1e-12
 
 
+def test_bigvocab_join_fused_encode_identical(spark, corpus, index_dir,
+                                              tmp_path):
+    """The planet-scale encode path (shuffled-hash dim join co-locates
+    terms; NO second shuffle, no salting, join-order block splits) must
+    produce an index answering identically to the broadcast+salt path."""
+    out2 = str(tmp_path / "bigvocab")
+    build_index(spark, corpus, out2, n_buckets=8, block_size=16,
+                n_groups=3, broadcast_term_limit=0)  # force the SHJ path
+    for q in ["error timeout retry", "spark merge", "the data",
+              "null pointer exception"]:
+        a = E.bm25_topk(spark, index_dir, q, k=15, hydrate=False).toPandas()
+        b = E.bm25_topk(spark, out2, q, k=15, hydrate=False).toPandas()
+        assert list(a.doc_id) == list(b.doc_id), q
+        assert (a.score - b.score).abs().max() < 1e-12
+    # positional phrase reads pos_partial — unaffected but assert anyway
+    pa = sorted(r.doc_id for r in
+                E.phrase_match(spark, index_dir, "out of memory").collect())
+    pb = sorted(r.doc_id for r in
+                E.phrase_match(spark, out2, "out of memory").collect())
+    assert pa == pb and len(pa) > 0
+
+
 def test_metrics_and_lineage_written(index_dir):
     seg = glob.glob(os.path.join(index_dir, "segments", "*"))[0]
     import pandas as pd
