@@ -451,3 +451,39 @@ def q_json_props_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         F.get_json_object("props", "$.k").cast("long").alias("k_value"))
+
+
+# -- Sessionization: Spark-native session_window over the events stream ------
+# The one windowed-aggregation shape a transcript/event pipeline needs that
+# the reference lacks entirely (it is a pure batch job, SURVEY.md §2.9).
+# Engine side uses the BUILT-IN F.session_window (the same operator runs
+# under Structured Streaming with a watermark — streaming/sessionize.py);
+# the DuckDB oracle is an independent formulation (lag + gap-flag cumsum),
+# so the gate proves the two session definitions coincide.
+
+from ..streaming.sessionize import SESSION_GAP_SEC, session_agg  # noqa: E402
+
+
+@_register("event_sessionize", f"""
+WITH marks AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) >= {SESSION_GAP_SEC}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM marks
+)
+SELECT user_id,
+       CAST(floor(epoch(min(ts)) * 10000.0) AS BIGINT) AS session_start_q,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(floor(sum(value) * 10000.0) AS BIGINT) AS value_sum_q
+FROM sess GROUP BY user_id, session_no
+""")
+def q_event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_agg(spark.read.parquet(f"{sf_dir}/events.parquet"))

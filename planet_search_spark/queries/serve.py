@@ -36,12 +36,17 @@ class LocalSearcher:
         self.seg_dirs = [os.path.join(out_dir, "segments", s) for s in segs]
         self.n_docs, self.sum_dl = 0, 0
         self.n_buckets = None
+        self.fields: dict = {}   # field name -> {n_docs, sum_dl} (global)
         for sd in self.seg_dirs:
             with open(os.path.join(sd, "corpus_stats.json")) as f:
                 cs = json.load(f)
             self.n_docs += cs["n_docs"]
             self.sum_dl += cs.get("sum_dl",
                                   int(round(cs["avgdl"] * cs["n_docs"])))
+            for fname, st in cs.get("fields", {}).items():
+                acc = self.fields.setdefault(fname, {"n_docs": 0, "sum_dl": 0})
+                acc["n_docs"] += st["n_docs"]
+                acc["sum_dl"] += st["sum_dl"]
             self.n_buckets = cs["n_buckets"]
         self.avgdl = self.sum_dl / self.n_docs
         self._postings = [ds.dataset(os.path.join(sd, "postings"),
@@ -55,11 +60,10 @@ class LocalSearcher:
 
     # -- postings ------------------------------------------------------------
 
-    def _blocks(self, terms: list[str]):
-        from ..indexing.build import FIELDS
+    def _blocks(self, terms: list[str], field_id: int = 0):
         buckets = sorted({bucket_of(t, self.n_buckets) for t in terms})
         filt = (ds.field("bucket").isin(buckets)
-                & (ds.field("field") == FIELDS["text"])
+                & (ds.field("field") == field_id)
                 & ds.field("term").isin(terms))
         cols = ["term", "n_docs", "docs_bin", "tfs_bin", "dls_bin"]
         out = []
@@ -67,7 +71,7 @@ class LocalSearcher:
             out.append(d.to_table(columns=cols, filter=filt))
         return out
 
-    def _postings_arrays(self, terms: list[str]):
+    def _postings_arrays(self, terms: list[str], field_id: int = 0):
         """term -> (doc_ids, tfs, dls) numpy arrays, merged over segments.
 
         One vectorized decode per term per stream: all of a term's block
@@ -77,14 +81,14 @@ class LocalSearcher:
         with an absolute id at every block start by construction, which is
         exactly :func:`codec.decode_positions`'s semantics.
         """
-        cached = {t: self._term_cache[t] for t in terms
-                  if t in self._term_cache}
+        cached = {t: self._term_cache[(field_id, t)] for t in terms
+                  if (field_id, t) in self._term_cache}
         missing = [t for t in terms if t not in cached]
         if not missing:
             return dict(cached)
         acc: dict[str, dict] = {t: {"n": [], "d": [], "t": [], "l": []}
                                 for t in missing}
-        for tbl in self._blocks(missing):
+        for tbl in self._blocks(missing, field_id):
             tcol = tbl.column("term").to_pylist()
             ncol = tbl.column("n_docs").to_pylist()
             dbin = tbl.column("docs_bin").to_pylist()
@@ -105,13 +109,23 @@ class LocalSearcher:
             out[t] = (ids, codec.varbyte_decode(b"".join(a["t"])),
                       codec.varbyte_decode(b"".join(a["l"])))
             if len(self._term_cache) < self._term_cache_cap:
-                self._term_cache[t] = out[t]
+                self._term_cache[(field_id, t)] = out[t]
         return out
 
-    def _term_score(self, tfs: np.ndarray, dls: np.ndarray,
-                    df: float) -> np.ndarray:
-        idf = math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
-        return idf * tfs / (tfs + S.K1 * (1 - S.B + S.B * dls / self.avgdl))
+    def _term_score(self, tfs: np.ndarray, dls: np.ndarray, df: float,
+                    n: float | None = None,
+                    avgdl: float | None = None) -> np.ndarray:
+        n = self.n_docs if n is None else n
+        avgdl = self.avgdl if avgdl is None else avgdl
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        return idf * tfs / (tfs + S.K1 * (1 - S.B + S.B * dls / avgdl))
+
+    def _field_stats(self, fname: str) -> tuple:
+        st = self.fields.get(fname)
+        if not st:   # pre-field layout: text only
+            return float(self.n_docs), self.avgdl
+        n = st["n_docs"]
+        return float(n), (st["sum_dl"] / n) if n else 1.0
 
     # -- queries ---------------------------------------------------------------
 
@@ -153,21 +167,70 @@ class LocalSearcher:
         order = sel[np.lexsort((uniq[sel], -scores[sel]))][:kk]
         rows = [{"doc_id": int(uniq[i]), "score": float(scores[i]),
                  "nmatch": int(nmatch[i])} for i in order]
-        if hydrate:
-            if self._store_cache is None:
-                cols = ["doc_id", "conv_id", "turn_idx", "role", "tool"]
-                parts = [st.to_table(columns=cols) for st in self._stores]
-                import pyarrow as pa
-                tbl = pa.concat_tables(parts)
-                o = np.argsort(tbl.column("doc_id").to_numpy())
-                self._store_cache = (
-                    tbl.column("doc_id").to_numpy()[o],
-                    {c: np.asarray(tbl.column(c).to_pylist(),
-                                   dtype=object)[o] for c in cols[1:]})
-            sids, cols = self._store_cache
-            for r in rows:
-                j = int(np.searchsorted(sids, r["doc_id"]))
-                if j < sids.size and sids[j] == r["doc_id"]:
-                    for c, arr in cols.items():
-                        r[c] = arr[j]
+        return self._hydrate(rows) if hydrate else rows
+
+    def dismax_topk(self, query: str, k: int = 20, *,
+                    boosts: dict | None = None, hydrate: bool = True):
+        """Boosted multi-field dis_max top-k — exact parity with the Spark
+        engine's :func:`planet_search_spark.queries.engine.dismax_topk`:
+        per field f, s_f = summed BM25 under f's OWN corpus stats;
+        score = max_f boost_f * s_f (tie_breaker 0.0)."""
+        from ..indexing.build import FIELDS, FIELD_BOOSTS
+        boosts = boosts or FIELD_BOOSTS
+        terms = sorted(set(A.py_tokens(query)))
+        if not terms:
+            return []
+        per_doc: dict = {}
+        for fname, boost in boosts.items():
+            fid = FIELDS[fname]
+            n, avgdl = self._field_stats(fname)
+            posts = self._postings_arrays(terms, fid)
+            if not posts:
+                continue
+            all_ids = np.concatenate([p[0] for p in posts.values()])
+            uniq = np.unique(all_ids)
+            s_f = np.zeros(uniq.size)
+            for _t, (ids, tfs, dls) in posts.items():
+                idx = np.searchsorted(uniq, ids)
+                np.add.at(s_f, idx, self._term_score(
+                    tfs.astype(np.float64), dls.astype(np.float64),
+                    float(ids.size), n, avgdl))
+            boosted = float(boost) * s_f
+            for d, v in zip(uniq.tolist(), boosted.tolist()):
+                if v > per_doc.get(d, -1.0):
+                    per_doc[d] = v
+        if not per_doc:
+            return []
+        doc_ids = np.fromiter(per_doc.keys(), dtype=np.int64)
+        scores = np.fromiter(per_doc.values(), dtype=np.float64)
+        kk = min(k, doc_ids.size)
+        if kk < doc_ids.size:
+            part = np.argpartition(-scores, kk - 1)
+            boundary = scores[part[kk - 1]]
+            sel = np.flatnonzero(scores >= boundary)
+        else:
+            sel = np.arange(doc_ids.size)
+        order = sel[np.lexsort((doc_ids[sel], -scores[sel]))][:kk]
+        rows = [{"doc_id": int(doc_ids[i]), "score": float(scores[i])}
+                for i in order]
+        return self._hydrate(rows) if hydrate else rows
+
+    def _hydrate(self, rows):
+        """Attach stored fields from the lazy in-RAM doc_store cache."""
+        if self._store_cache is None:
+            cols = ["doc_id", "conv_id", "turn_idx", "role", "tool"]
+            parts = [st.to_table(columns=cols) for st in self._stores]
+            import pyarrow as pa
+            tbl = pa.concat_tables(parts)
+            o = np.argsort(tbl.column("doc_id").to_numpy())
+            self._store_cache = (
+                tbl.column("doc_id").to_numpy()[o],
+                {c: np.asarray(tbl.column(c).to_pylist(),
+                               dtype=object)[o] for c in cols[1:]})
+        sids, cols = self._store_cache
+        for r in rows:
+            j = int(np.searchsorted(sids, r["doc_id"]))
+            if j < sids.size and sids[j] == r["doc_id"]:
+                for c, arr in cols.items():
+                    r[c] = arr[j]
         return rows

@@ -450,3 +450,87 @@ def simhash_banded_pairs(sims: DataFrame) -> DataFrame:
                          F.col("b.simhash"))).cast("int").alias("hamming"))
              .distinct())
     return pairs.where(F.col("hamming") <= 2)
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering: connected components over the near-dup pair graph
+# ---------------------------------------------------------------------------
+# The canonical-document step after pair generation in a dedup pipeline:
+# each document gets the MIN doc_id of its connected component as
+# cluster_id (keep one representative per cluster downstream). Spark side
+# is iterative min-label propagation to a fixpoint — each round is one
+# join + min-aggregate, lineage cut per round; rounds are bounded by the
+# component diameter, and at 100 TB this is the standard large/small-star
+# shape (no driver-side graph state, only a convergence count per round).
+# Oracle: DuckDB recursive CTE computing the transitive min label.
+
+CC_MAX_ITERS = 50
+
+
+def connected_components(pairs: DataFrame, vertices: DataFrame) -> DataFrame:
+    """pairs(doc_a, doc_b) + vertices(doc_id) -> (doc_id, cluster_id)."""
+    edges = (pairs.select(F.col("doc_a").alias("src"),
+                          F.col("doc_b").alias("dst"))
+             .union(pairs.select(F.col("doc_b").alias("src"),
+                                 F.col("doc_a").alias("dst"))))
+    edges = edges.localCheckpoint(eager=True)
+    labels = vertices.select("doc_id", F.col("doc_id").alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(CC_MAX_ITERS):
+        prop = (edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+                .select(F.col("src").alias("doc_id"), "label"))
+        new = (labels.unionByName(prop)
+               .groupBy("doc_id").agg(F.min("label").alias("label"))
+               .localCheckpoint(eager=True))
+        changed = (new.join(labels.withColumnRenamed("label", "old"),
+                            "doc_id")
+                   .where(F.col("label") != F.col("old")).count())
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("connected_components did not converge")
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+_SQL_SIMHASH_PAIRS = f"""
+banded AS (
+  SELECT doc_id, simhash, b.b AS band_id,
+         (simhash >> ({SIMHASH_BAND_BITS} * b.b)) & {(1 << SIMHASH_BAND_BITS) - 1} AS band_val
+  FROM simhashes, (VALUES (0), (1), (2), (3)) AS b(b)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+)
+"""
+
+
+@_register("dedup_clusters", f"""
+WITH RECURSIVE {_sql_simhash(_SQL_NEARDUP_CORPUS.strip() + ',').strip()},
+{_SQL_SIMHASH_PAIRS.strip()},
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach(doc_id, label) AS (
+  SELECT doc_id, doc_id AS label FROM simhashes
+  UNION
+  SELECT e.s AS doc_id, r.label
+  FROM edges e JOIN reach r ON r.doc_id = e.d
+)
+SELECT doc_id, min(label) AS cluster_id
+FROM reach GROUP BY doc_id
+""")
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _neardup_corpus(spark, sf_dir) \
+        .select("doc_id", A.tokens_col(F.col("text")).alias("toks")) \
+        .where(F.size("toks") > 0)
+    sims = _spark_simhash(corpus)
+    pairs = (simhash_banded_pairs(sims)
+             .select("doc_a", "doc_b").distinct())
+    return connected_components(pairs, sims.select("doc_id"))

@@ -57,3 +57,26 @@ def test_logical_bm25_pushes_term_filter_to_scan(spark):
     fn, _ = QUERIES["bm25_or"]
     plan = _plan(fn(spark, "/root/testdata/sf0.001"))
     assert "PushedFilters" in plan
+
+
+def test_exact_path_pushes_kw_hash_to_scan(spark, small_index):
+    """Exact-match search must push the kw_hash equality into the parquet
+    scan (doc_store is written sorted by kw_hash, so row-group min/max
+    stats make this a point read, not a full scan)."""
+    from planet_search_spark.queries.params import SearchParams
+    df = E.search(spark, small_index, SearchParams(query="error", exact=True))
+    plan = _plan(df)
+    pushed = plan.split("PushedFilters", 1)[1][:300]
+    assert "kw_hash" in pushed
+
+
+def test_dismax_multifield_plan_shape(spark, small_index):
+    """Multi-field dis_max: field+term filters pushed to the scan; the only
+    join in the scoring plan is the final k-row hydration."""
+    df = E.dismax_topk(spark, small_index, "error timeout", k=5,
+                       hydrate=False)
+    plan = _plan(df)
+    pushed = plan.split("PushedFilters", 1)[1][:300]
+    assert "In(term" in pushed
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan

@@ -64,6 +64,18 @@ def test_serve_boundary_ties_break_by_doc_id(spark, tmp_path):
     assert [g["doc_id"] for g in got] == [w["doc_id"] for w in want]
 
 
+@pytest.mark.parametrize("query", ["error search tool", "assistant code",
+                                   "spark user", "the data"])
+def test_serve_dismax_matches_engine(spark, index_dir, query):
+    srv = LocalSearcher(index_dir)
+    got = srv.dismax_topk(query, k=12, hydrate=False)
+    want = [r.asDict() for r in
+            E.dismax_topk(spark, index_dir, query, k=12,
+                          hydrate=False).collect()]
+    assert [(g["doc_id"], round(g["score"], 10)) for g in got] == \
+           [(w["doc_id"], round(w["score"], 10)) for w in want], query
+
+
 def test_serve_hydrates(index_dir):
     srv = LocalSearcher(index_dir)
     rows = srv.bm25_topk("error timeout", k=5)
