@@ -182,7 +182,12 @@ JOIN sizes zb ON zb.doc_id = i.doc_b
 WHERE i.n_inter / (za.n_sh + zb.n_sh - i.n_inter) >= 0.5
 """)
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _neardup_corpus(spark, sf_dir)
+    return _minhash_verified_pairs(_neardup_corpus(spark, sf_dir))
+
+
+def _minhash_verified_pairs(corpus: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, jaccard_q): LSH candidate pairs verified with exact
+    shingle-set Jaccard >= 0.5."""
     sh = _shingles_df(corpus)
     sh.persist()
     bands = _minhash_bands(sh)
@@ -493,32 +498,53 @@ def connected_components(pairs: DataFrame, vertices: DataFrame) -> DataFrame:
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
-_SQL_SIMHASH_PAIRS = f"""
-banded AS (
-  SELECT doc_id, simhash, b.b AS band_id,
-         (simhash >> ({SIMHASH_BAND_BITS} * b.b)) & {(1 << SIMHASH_BAND_BITS) - 1} AS band_val
-  FROM simhashes, (VALUES (0), (1), (2), (3)) AS b(b)
-),
-pairs AS (
+# Edges for clustering are the minhash-LSH candidates VERIFIED by exact
+# shingle-Jaccard >= 0.5 — not raw hash-collision pairs: a 16-bit simhash
+# yields millions of Hamming<=2 collisions on a 10k-doc corpus (measured
+# 4.5M at sf0.1), whose components would also blow up the recursive-CTE
+# oracle; verified pairs stay the size of TRUE duplicate groups at any
+# scale.
+_SQL_VERIFIED_PAIRS = """
+cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM banded a JOIN banded b
-    ON a.band_id = b.band_id AND a.band_val = b.band_val
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
    AND a.doc_id < b.doc_id
-  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+),
+inter AS (
+  SELECT p.doc_a, p.doc_b, CAST(count(*) AS DOUBLE) AS n_inter
+  FROM cand p
+  JOIN shingles sa ON sa.doc_id = p.doc_a
+  JOIN shingles sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+  GROUP BY p.doc_a, p.doc_b
+),
+szs AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS n_sh
+        FROM shingles GROUP BY doc_id),
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN szs za ON za.doc_id = i.doc_a
+  JOIN szs zb ON zb.doc_id = i.doc_b
+  WHERE i.n_inter / (za.n_sh + zb.n_sh - i.n_inter) >= 0.5
 )
 """
 
 
 @_register("dedup_clusters", f"""
-WITH RECURSIVE {_sql_simhash(_SQL_NEARDUP_CORPUS.strip() + ',').strip()},
-{_SQL_SIMHASH_PAIRS.strip()},
+WITH RECURSIVE {_SQL_NEARDUP_CORPUS.strip()},
+{_SQL_SHINGLES.strip()},
+{_SQL_BANDS.strip()},
+{_SQL_VERIFIED_PAIRS.strip()},
+verts AS (
+  SELECT doc_id FROM corpus WHERE len({A.sql_tokens_expr('text')}) > 0
+),
 edges AS (
   SELECT doc_a AS s, doc_b AS d FROM pairs
   UNION ALL
   SELECT doc_b AS s, doc_a AS d FROM pairs
 ),
 reach(doc_id, label) AS (
-  SELECT doc_id, doc_id AS label FROM simhashes
+  SELECT doc_id, doc_id AS label FROM verts
   UNION
   SELECT e.s AS doc_id, r.label
   FROM edges e JOIN reach r ON r.doc_id = e.d
@@ -527,10 +553,9 @@ SELECT doc_id, min(label) AS cluster_id
 FROM reach GROUP BY doc_id
 """)
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _neardup_corpus(spark, sf_dir) \
-        .select("doc_id", A.tokens_col(F.col("text")).alias("toks")) \
-        .where(F.size("toks") > 0)
-    sims = _spark_simhash(corpus)
-    pairs = (simhash_banded_pairs(sims)
-             .select("doc_a", "doc_b").distinct())
-    return connected_components(pairs, sims.select("doc_id"))
+    corpus = _neardup_corpus(spark, sf_dir)
+    pairs = _minhash_verified_pairs(corpus).select("doc_a", "doc_b")
+    verts = (corpus.select("doc_id",
+                           A.tokens_col(F.col("text")).alias("toks"))
+             .where(F.size("toks") > 0).select("doc_id"))
+    return connected_components(pairs, verts)
