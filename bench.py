@@ -63,6 +63,10 @@ def main():
             fn()
             timings[name] = round(time.time() - t, 3)
 
+        # unmeasured warmup: file listing + parquet footers + JVM JIT, so
+        # the pruned-vs-unpruned pairs below compare plans, not page cache
+        E.bm25_topk(spark, out_dir, "spark merge window", k=20,
+                    prune=False, hydrate=False).collect()
         timed("bm25_topk_wand", lambda: E.bm25_topk(
             spark, out_dir, "spark merge window", k=20, prune=True).collect())
         timed("bm25_topk_nopune", lambda: E.bm25_topk(

@@ -49,9 +49,35 @@ def main(argv: list[str] | None = None):
     s.add_argument("--and", dest="require_all", action="store_true")
     s.add_argument("--no-prune", action="store_true")
 
+    fs = sub.add_parser("full-search",
+                        help="full points_search composition "
+                             "(expansions + function_score + filters)")
+    fs.add_argument("--index", required=True)
+    fs.add_argument("--query", required=True)
+    fs.add_argument("-k", type=int, default=20)
+    fs.add_argument("--and", dest="op_and", action="store_true")
+    fs.add_argument("--prefix", action="store_true",
+                    help="autocomplete: last term matches by prefix")
+    fs.add_argument("--fuzzy", action="store_true")
+    fs.add_argument("--exact", action="store_true")
+    fs.add_argument("--multifield", action="store_true",
+                    help="text x5 + meta x3 boosted fields")
+    fs.add_argument("--tiers", action="store_true",
+                    help="constant-score phrase tiers 12/6")
+    fs.add_argument("--recency", action="store_true")
+    fs.add_argument("--role", default=None)
+    fs.add_argument("--tool", default=None)
+
+    dm = sub.add_parser("dismax", help="boosted multi-field dis_max top-k")
+    dm.add_argument("--index", required=True)
+    dm.add_argument("--query", required=True)
+    dm.add_argument("-k", type=int, default=20)
+
     ph = sub.add_parser("phrase", help="positional phrase match")
     ph.add_argument("--index", required=True)
     ph.add_argument("--phrase", required=True)
+    ph.add_argument("--prefix", action="store_true",
+                    help="last term matches by prefix (match_phrase_prefix)")
 
     args = p.parse_args(argv)
     spark = _spark()
@@ -68,8 +94,23 @@ def main(argv: list[str] | None = None):
                          prune=not args.no_prune)
         for r in df.collect():
             print(json.dumps({k: str(v) for k, v in r.asDict().items()}))
+    elif args.cmd == "full-search":
+        from .queries.params import SearchParams
+        params = SearchParams(
+            query=args.query, operator="and" if args.op_and else "or",
+            prefix=args.prefix, fuzzy=args.fuzzy, exact=args.exact,
+            multifield=args.multifield, phrase_tiers=args.tiers,
+            recency=args.recency, filter_role=args.role,
+            filter_tool=args.tool, k=args.k)
+        for r in E.search(spark, args.index, params).collect():
+            print(json.dumps({k: str(v) for k, v in r.asDict().items()}))
+    elif args.cmd == "dismax":
+        for r in E.dismax_topk(spark, args.index, args.query,
+                               k=args.k).collect():
+            print(json.dumps({k: str(v) for k, v in r.asDict().items()}))
     elif args.cmd == "phrase":
-        for r in E.phrase_match(spark, args.index, args.phrase).collect():
+        fn = E.phrase_prefix_match if args.prefix else E.phrase_match
+        for r in fn(spark, args.index, args.phrase).collect():
             print(json.dumps(r.asDict()))
 
 
