@@ -355,7 +355,34 @@ def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
     lap("tf_partial")
     ids._cached_base.unpersist()
 
-    tf_stored = spark.read.parquet(tf_path)
+    n_terms_total, built_groups = _term_dict_and_postings(
+        spark, seg_dir, field_stats, n_buckets=n_buckets,
+        block_size=block_size, salt_target=salt_target, n_groups=n_groups,
+        broadcast_term_limit=broadcast_term_limit, done=done, mark=mark,
+        lap=lap, fail_after_group=fail_after_group)
+    groups = [sorted(range(n_buckets))[i::n_groups] for i in range(n_groups)]
+    postings_path = os.path.join(seg_dir, "postings")
+    term_df = spark.read.parquet(
+        os.path.join(seg_dir, "term_dict")).select("field", "df")
+    return _finalize_segment(
+        spark, out_dir, seg_dir, segment, term_df, groups, postings_path,
+        n_docs=n_docs, avgdl=avgdl, n_terms_total=n_terms_total,
+        built_groups=built_groups, resume=resume, append=append,
+        t0=t0, stage_t=stage_t)
+
+
+def _term_dict_and_postings(spark: SparkSession, seg_dir: str,
+                            field_stats: dict, *, n_buckets: int,
+                            block_size: int, salt_target: int,
+                            n_groups: int, broadcast_term_limit: int,
+                            done, mark, lap,
+                            fail_after_group: int = -1) -> tuple:
+    """Stages 4+5 (term dictionary + salted block encode) from the
+    segment's ``tf_partial`` table — shared by :func:`build_index` and
+    :func:`compact_index` (segment merging rebuilds the dictionary and
+    postings from the UNION of the input segments' tf partials under the
+    merged corpus stats). Returns ``(n_terms_total, built_groups)``."""
+    tf_stored = spark.read.parquet(os.path.join(seg_dir, "tf_partial"))
 
     # -- stage 4: term dictionary + WAND term upper bounds ------------------
     term_dict_path = os.path.join(seg_dir, "term_dict")
@@ -455,8 +482,18 @@ def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
         built_groups += 1
         if fail_after_group >= 0 and built_groups >= fail_after_group:
             raise RuntimeError(f"injected failure after group {gi}")
+    return n_terms_total, built_groups
 
-    # -- stage 6: metrics + lineage + atomic publish ------------------------
+
+def _finalize_segment(spark: SparkSession, out_dir: str, seg_dir: str,
+                      segment: str, term_df: DataFrame, groups: list,
+                      postings_path: str, *, n_docs: int, avgdl: float,
+                      n_terms_total: int, built_groups: int, resume: bool,
+                      append: bool, t0: float, stage_t: dict,
+                      replace_segments: list | None = None) -> dict:
+    """Stage 6: metrics + lineage + atomic live.json publish. With
+    ``replace_segments``, the named segments are REPLACED by this one in
+    the pointer (compaction); otherwise append/overwrite semantics."""
     elapsed = time.time() - t0
     post_bytes = sum(
         os.path.getsize(os.path.join(dp, fn))
@@ -481,7 +518,13 @@ def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
 
     live_path = os.path.join(out_dir, "live.json")
     segments = [segment]
-    if append and os.path.exists(live_path):
+    if replace_segments and os.path.exists(live_path):
+        # compaction: the merged segment atomically REPLACES its inputs;
+        # segments appended concurrently since the merge started survive
+        with open(live_path) as f:
+            prev = json.load(f).get("segments", [])
+        segments = [s for s in prev if s not in replace_segments] + [segment]
+    elif append and os.path.exists(live_path):
         with open(live_path) as f:
             prev = json.load(f).get("segments", [])
         segments = prev + [s for s in segments if s not in prev]
@@ -519,3 +562,126 @@ def incremental_update(spark: SparkSession, out_dir: str, new_tx: DataFrame,
     return build_index(spark, new_tx, out_dir,
                        segment=f"seg_{n_seg + 1}", doc_base=doc_base,
                        append=True, **build_kw)
+
+
+def compact_index(spark: SparkSession, out_dir: str, *,
+                  n_groups: int = 1, resume: bool = False,
+                  broadcast_term_limit: int = 2_000_000) -> dict:
+    """Merge ALL live segments into one — the Lucene tiered-merge analogue
+    for the incremental (LSM) index: query-time cost grows with segment
+    count (per-segment file listings, per-term block unions), so periodic
+    compaction restores single-segment read amplification.
+
+    The merged segment is rebuilt from the UNION of the inputs'
+    doc_store / pos_partial / tf_partial tables (doc_ids are globally
+    disjoint by construction, so unions are plain appends), with the term
+    dictionary, per-field corpus stats, and posting blocks recomputed under
+    the MERGED stats — scores after compaction are bit-identical to the
+    multi-segment reader, which already aggregates df/N/sum_dl exactly.
+    Publish atomically REPLACES the input segments in live.json; inputs
+    stay on disk for readers holding the old pointer (GC is a separate
+    sweep). Stage markers make compaction itself crash-resumable.
+    """
+    live_path = os.path.join(out_dir, "live.json")
+    with open(live_path) as f:
+        in_segs = json.load(f)["segments"]
+    if len(in_segs) <= 1:
+        return {"skipped": True, "segments": in_segs}
+    t0 = time.time()
+    stats, next_doc_base = [], 0
+    for s in in_segs:
+        with open(os.path.join(out_dir, "segments", s,
+                               "corpus_stats.json")) as f:
+            cs = json.load(f)
+        stats.append(cs)
+        next_doc_base = max(next_doc_base, cs.get(
+            "next_doc_base", cs["doc_base"] + cs["n_docs"]))
+    first = stats[0]
+    n_buckets, block_size = first["n_buckets"], first["block_size"]
+    with_positions = all(cs["with_positions"] for cs in stats)
+    n_docs = sum(cs["n_docs"] for cs in stats)
+    sum_dl = sum(cs["sum_dl"] for cs in stats)
+    fields_json: dict = {}
+    for cs in stats:
+        for fname, st in cs.get("fields", {}).items():
+            acc = fields_json.setdefault(fname, {"n_docs": 0, "sum_dl": 0})
+            acc["n_docs"] += st["n_docs"]
+            acc["sum_dl"] += st["sum_dl"]
+    field_stats = {
+        FIELDS[fname]: (float(st["n_docs"]),
+                        (st["sum_dl"] / st["n_docs"]) if st["n_docs"] else 1.0)
+        for fname, st in fields_json.items()}
+
+    seg_root = os.path.join(out_dir, "segments")
+    segment = f"merged_{len(os.listdir(seg_root))}"
+    seg_dir = os.path.join(seg_root, segment)
+    ckpt_dir = os.path.join(seg_dir, "_ckpt")
+    os.makedirs(ckpt_dir, exist_ok=True)
+
+    def done(name: str) -> bool:
+        return resume and os.path.exists(os.path.join(ckpt_dir, name))
+
+    def mark(name: str):
+        with open(os.path.join(ckpt_dir, name), "w") as f:
+            f.write("ok")
+
+    stage_t: dict[str, float] = {}
+    t_stage = time.time()
+
+    def lap(name: str):
+        nonlocal t_stage
+        stage_t[name] = round(time.time() - t_stage, 2)
+        t_stage = time.time()
+
+    def union_read(sub: str) -> DataFrame:
+        dfs = [spark.read.option("basePath", os.path.join(seg_root, s, sub))
+               .parquet(os.path.join(seg_root, s, sub)) for s in in_segs]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    if not done("stage_docs.done"):
+        (union_read("doc_store").sortWithinPartitions("kw_hash")
+         .write.mode("overwrite").parquet(os.path.join(seg_dir, "doc_store")))
+        mark("stage_docs.done")
+    lap("doc_store")
+    if with_positions and not done("stage_pos.done"):
+        (union_read("pos_partial")
+         .sortWithinPartitions("bucket", "field", "term", "doc_id", "pos")
+         .write.mode("overwrite").partitionBy("bucket")
+         .parquet(os.path.join(seg_dir, "pos_partial")))
+        mark("stage_pos.done")
+    lap("pos_partial")
+    if not done("stage_tf.done"):
+        (union_read("tf_partial").repartition(n_buckets, "bucket")
+         .write.mode("overwrite").partitionBy("bucket")
+         .parquet(os.path.join(seg_dir, "tf_partial")))
+        mark("stage_tf.done")
+    lap("tf_partial")
+    stats_path = os.path.join(seg_dir, "corpus_stats.json")
+    if not (resume and os.path.exists(stats_path)):
+        with open(stats_path, "w") as f:
+            json.dump({"n_docs": n_docs, "avgdl": sum_dl / n_docs,
+                       "sum_dl": sum_dl, "doc_base": 0,
+                       "fields": fields_json,
+                       "next_doc_base": next_doc_base,
+                       "n_buckets": n_buckets, "block_size": block_size,
+                       "with_positions": with_positions}, f)
+
+    n_terms_total, built_groups = _term_dict_and_postings(
+        spark, seg_dir, field_stats, n_buckets=n_buckets,
+        block_size=block_size, salt_target=1 << 16, n_groups=n_groups,
+        broadcast_term_limit=broadcast_term_limit, done=done, mark=mark,
+        lap=lap)
+    groups = [sorted(range(n_buckets))[i::n_groups] for i in range(n_groups)]
+    term_df = spark.read.parquet(
+        os.path.join(seg_dir, "term_dict")).select("field", "df")
+    m = _finalize_segment(
+        spark, out_dir, seg_dir, segment, term_df, groups,
+        os.path.join(seg_dir, "postings"), n_docs=n_docs,
+        avgdl=sum_dl / n_docs, n_terms_total=n_terms_total,
+        built_groups=built_groups, resume=resume, append=False,
+        t0=t0, stage_t=stage_t, replace_segments=in_segs)
+    m["merged_segments"] = in_segs
+    return m

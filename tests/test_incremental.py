@@ -102,3 +102,61 @@ def test_streaming_ingest(spark, corpora, tmp_path):
     # and search sees streamed docs
     res = E.bm25_topk(spark, out, "error timeout", k=10).collect()
     assert len(res) == 10
+
+
+def test_compaction_identical_and_composable(spark, tmp_path):
+    """compact_index merges all live segments into one whose answers are
+    bit-identical to the multi-segment reader, atomically replaces the
+    inputs in live.json, and further incremental appends keep working."""
+    import json
+    import os
+
+    from planet_search_spark.indexing.build import (build_index,
+                                                    compact_index,
+                                                    incremental_update)
+    from planet_search_spark.queries import engine as E
+    from planet_search_spark.transcripts import synthesize_transcripts
+
+    out = str(tmp_path / "cidx")
+    a = synthesize_transcripts(spark, n_convs=25, seed=61)
+    b = synthesize_transcripts(spark, n_convs=10, seed=62) \
+        .selectExpr("concat('zz_', conv_id) AS conv_id", "turn_idx", "role",
+                    "text", "tool", "ts")
+    build_index(spark, a, out, n_buckets=4, block_size=16, n_groups=1)
+    incremental_update(spark, out, b, n_groups=1)
+
+    queries = ["error timeout retry", "the data", "kitten sitting"]
+    before = {q: E.bm25_topk(spark, out, q, k=12, hydrate=False).toPandas()
+              for q in queries}
+    before_dm = E.dismax_topk(spark, out, "error tool", k=8,
+                              hydrate=False).toPandas()
+    before_ph = sorted(r.doc_id for r in
+                       E.phrase_match(spark, out, "out of memory").collect())
+
+    m = compact_index(spark, out, n_groups=1)
+    with open(os.path.join(out, "live.json")) as f:
+        segs = json.load(f)["segments"]
+    assert segs == [m["segment"]] and len(m["merged_segments"]) == 2
+
+    for q in queries:
+        after = E.bm25_topk(spark, out, q, k=12, hydrate=False).toPandas()
+        assert list(after.doc_id) == list(before[q].doc_id), q
+        assert (after.score - before[q].score).abs().max() < 1e-12, q
+    after_dm = E.dismax_topk(spark, out, "error tool", k=8,
+                             hydrate=False).toPandas()
+    assert list(after_dm.doc_id) == list(before_dm.doc_id)
+    assert (after_dm.score - before_dm.score).abs().max() < 1e-12
+    after_ph = sorted(r.doc_id for r in
+                      E.phrase_match(spark, out, "out of memory").collect())
+    assert after_ph == before_ph and len(after_ph) > 0
+
+    # compacting a single-segment index is a no-op
+    assert compact_index(spark, out).get("skipped") is True
+
+    # the LSM keeps working: append after compaction, doc ids stay disjoint
+    c = synthesize_transcripts(spark, n_convs=5, seed=63) \
+        .selectExpr("concat('post_', conv_id) AS conv_id", "turn_idx",
+                    "role", "text", "tool", "ts")
+    incremental_update(spark, out, c, n_groups=1)
+    store = E.doc_store(spark, E.open_index(out))
+    assert store.count() == store.select("doc_id").distinct().count()
