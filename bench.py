@@ -59,6 +59,10 @@ def main():
 
         # -- segment-engine queries ----------------------------------------
         def timed(name, fn):
+            # record the better of two runs: at the ~2 s Spark job floor a
+            # single shot is dominated by JIT/scheduling jitter, which made
+            # plan comparisons (pruned vs unpruned) misread in round 1
+            fn()
             t = time.time()
             fn()
             timings[name] = round(time.time() - t, 3)
