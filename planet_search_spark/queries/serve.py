@@ -215,6 +215,45 @@ class LocalSearcher:
                 for i in order]
         return self._hydrate(rows) if hydrate else rows
 
+    def phrase_match(self, phrase: str, *, hydrate: bool = False):
+        """Positional phrase match over the same ``pos_partial`` table the
+        Spark engine reads — exact parity with ``engine.phrase_match``.
+        Returns rows sorted by doc_id asc."""
+        from ..indexing.build import FIELDS
+        terms = A.py_tokens(phrase)
+        if not terms:
+            return []
+        uniq = sorted(set(terms))
+        buckets = sorted({bucket_of(t, self.n_buckets) for t in uniq})
+        filt = (ds.field("bucket").isin(buckets)
+                & (ds.field("field") == FIELDS["text"])
+                & ds.field("term").isin(uniq))
+        per_doc: dict = {}
+        for sd in self.seg_dirs:
+            d = ds.dataset(os.path.join(sd, "pos_partial"),
+                           partitioning="hive")
+            tbl = d.to_table(columns=["doc_id", "term", "pos"], filter=filt)
+            docs = tbl.column("doc_id").to_numpy()
+            toks = tbl.column("term").to_pylist()
+            poss = tbl.column("pos").to_numpy()
+            for i in range(len(docs)):
+                per_doc.setdefault(int(docs[i]), {}).setdefault(
+                    toks[i], []).append(int(poss[i]))
+        out = []
+        for doc_id in sorted(per_doc):
+            tp = per_doc[doc_id]
+            if len(tp) < len(uniq):
+                continue
+            cand = np.sort(np.asarray(tp[terms[0]], dtype=np.int64))
+            for i, t in enumerate(terms[1:], start=1):
+                nxt = np.asarray(tp.get(t, ()), dtype=np.int64)
+                cand = cand[np.isin(cand + i, nxt)]
+                if cand.size == 0:
+                    break
+            if cand.size:
+                out.append({"doc_id": doc_id})
+        return self._hydrate(out) if hydrate else out
+
     def _hydrate(self, rows):
         """Attach stored fields from the lazy in-RAM doc_store cache."""
         if self._store_cache is None:

@@ -76,6 +76,16 @@ def test_serve_dismax_matches_engine(spark, index_dir, query):
            [(w["doc_id"], round(w["score"], 10)) for w in want], query
 
 
+@pytest.mark.parametrize("phrase", ["null pointer exception",
+                                    "out of memory", "the the"])
+def test_serve_phrase_matches_engine(spark, index_dir, phrase):
+    srv = LocalSearcher(index_dir)
+    got = [r["doc_id"] for r in srv.phrase_match(phrase)]
+    want = sorted(r.doc_id for r in
+                  E.phrase_match(spark, index_dir, phrase).collect())
+    assert got == want, phrase
+
+
 def test_serve_hydrates(index_dir):
     srv = LocalSearcher(index_dir)
     rows = srv.bm25_topk("error timeout", k=5)
