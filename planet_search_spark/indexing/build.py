@@ -38,6 +38,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import shutil
 import time
 
 import numpy as np
@@ -233,6 +234,17 @@ def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
     t0 = time.time()
     seg_dir = os.path.join(out_dir, "segments", segment)
     ckpt_dir = os.path.join(seg_dir, "_ckpt")
+    if not resume:
+        # appending must never build into an already-built segment: stale
+        # _ckpt markers would silently splice the OLD segment's data under
+        # new stats (name collisions are prevented by the monotonic
+        # next_seg_id counter; this guards hand-picked names)
+        if append and os.path.exists(os.path.join(seg_dir,
+                                                  "corpus_stats.json")):
+            raise ValueError(
+                f"segment {segment!r} already exists in {out_dir!r}; "
+                "appends need a fresh segment name (resume=True to resume)")
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
     os.makedirs(ckpt_dir, exist_ok=True)
 
     def done(name: str) -> bool:
@@ -306,6 +318,7 @@ def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
                        # full consumed id span, not past n_docs
                        "next_doc_base": doc_base + ids._total_rows,
                        "n_buckets": n_buckets, "block_size": block_size,
+                       "salt_target": salt_target,
                        "with_positions": with_positions}, f)
     lap("doc_store")
 
@@ -485,6 +498,29 @@ def _term_dict_and_postings(spark: SparkSession, seg_dir: str,
     return n_terms_total, built_groups
 
 
+def _seg_id_of(name: str) -> int:
+    """Trailing integer of a segment name (seg_7 / merged_12 -> 7 / 12)."""
+    tail = name.rsplit("_", 1)[-1]
+    return int(tail) if tail.isdigit() else 0
+
+
+def next_seg_id(out_dir: str) -> int:
+    """Monotonic segment-id counter. Primary source: live.json's
+    ``next_seg_id`` (written by every publish). Fallback for pre-counter
+    indexes: 1 + the max trailing id over ALL segment directories on disk
+    (live or retained), so a compacted-then-appended index can never reuse
+    a retained pre-compaction segment's name (ADVICE round-2, medium)."""
+    live_path = os.path.join(out_dir, "live.json")
+    if os.path.exists(live_path):
+        with open(live_path) as f:
+            live = json.load(f)
+        if "next_seg_id" in live:
+            return int(live["next_seg_id"])
+    seg_root = os.path.join(out_dir, "segments")
+    on_disk = os.listdir(seg_root) if os.path.isdir(seg_root) else []
+    return 1 + max((_seg_id_of(s) for s in on_disk), default=0)
+
+
 def _finalize_segment(spark: SparkSession, out_dir: str, seg_dir: str,
                       segment: str, term_df: DataFrame, groups: list,
                       postings_path: str, *, n_docs: int, avgdl: float,
@@ -517,20 +553,28 @@ def _finalize_segment(spark: SparkSession, out_dir: str, seg_dir: str,
                  ).to_parquet(os.path.join(seg_dir, "lineage.parquet"))
 
     live_path = os.path.join(out_dir, "live.json")
-    segments = [segment]
+    segments, prev_next = [segment], 1
     if replace_segments and os.path.exists(live_path):
         # compaction: the merged segment atomically REPLACES its inputs;
         # segments appended concurrently since the merge started survive
         with open(live_path) as f:
-            prev = json.load(f).get("segments", [])
+            prev_live = json.load(f)
+        prev = prev_live.get("segments", [])
+        prev_next = int(prev_live.get("next_seg_id", 1))
         segments = [s for s in prev if s not in replace_segments] + [segment]
     elif append and os.path.exists(live_path):
         with open(live_path) as f:
-            prev = json.load(f).get("segments", [])
+            prev_live = json.load(f)
+        prev = prev_live.get("segments", [])
+        prev_next = int(prev_live.get("next_seg_id", 1))
         segments = prev + [s for s in segments if s not in prev]
+    # monotonic counter: never reissue an id, even across compactions and
+    # retained (non-live) segment directories
+    nxt = max(prev_next, 1 + max(_seg_id_of(s) for s in segments))
     tmp = os.path.join(out_dir, ".live.json.tmp")
     with open(tmp, "w") as f:
-        json.dump({"segments": segments, "published_at": time.time()}, f)
+        json.dump({"segments": segments, "next_seg_id": nxt,
+                   "published_at": time.time()}, f)
     os.replace(tmp, live_path)
     return metrics
 
@@ -543,11 +587,10 @@ def incremental_update(spark: SparkSession, out_dir: str, new_tx: DataFrame,
     atomic: the new segment joins live.json only after it is fully built.
     """
     live_path = os.path.join(out_dir, "live.json")
-    doc_base, n_seg, prev_cfg = 0, 0, None
+    doc_base, prev_cfg = 0, None
     if os.path.exists(live_path):
         with open(live_path) as f:
             segs = json.load(f)["segments"]
-        n_seg = len(segs)
         for s in segs:
             with open(os.path.join(out_dir, "segments", s,
                                    "corpus_stats.json")) as f:
@@ -559,9 +602,57 @@ def incremental_update(spark: SparkSession, out_dir: str, new_tx: DataFrame,
         build_kw.setdefault("n_buckets", prev_cfg["n_buckets"])
         build_kw.setdefault("block_size", prev_cfg["block_size"])
         build_kw.setdefault("with_positions", prev_cfg["with_positions"])
+        if "salt_target" in prev_cfg:
+            build_kw.setdefault("salt_target", prev_cfg["salt_target"])
     return build_index(spark, new_tx, out_dir,
-                       segment=f"seg_{n_seg + 1}", doc_base=doc_base,
-                       append=True, **build_kw)
+                       segment=f"seg_{next_seg_id(out_dir)}",
+                       doc_base=doc_base, append=True, **build_kw)
+
+
+def gc_segments(out_dir: str, *, grace_sec: float = 0.0) -> list:
+    """Delete segment directories that are NOT in live.json and whose last
+    modification is older than ``grace_sec`` — the missing sweep behind
+    compact_index's "inputs stay on disk for readers holding the old
+    pointer" (an LSM without GC leaks storage forever at production churn;
+    the reference cleans up by building a fresh physical index and swapping
+    the alias, ElasticsearchHelper.java:219-231). The grace period is the
+    reader-lease analogue: a reader that opened the old pointer less than
+    grace_sec ago may still hold file handles. Returns removed names."""
+    live_path = os.path.join(out_dir, "live.json")
+    seg_root = os.path.join(out_dir, "segments")
+    if not (os.path.exists(live_path) and os.path.isdir(seg_root)):
+        return []
+    with open(live_path) as f:
+        live = set(json.load(f)["segments"])
+    removed = []
+    now = time.time()
+    for s in sorted(os.listdir(seg_root)):
+        d = os.path.join(seg_root, s)
+        if s in live or not os.path.isdir(d):
+            continue
+        if now - os.path.getmtime(d) >= grace_sec:
+            shutil.rmtree(d)
+            removed.append(s)
+    return removed
+
+
+def maybe_compact(spark: SparkSession, out_dir: str, *,
+                  max_segments: int = 4, gc_grace_sec: float = 0.0,
+                  **compact_kw) -> dict:
+    """Tiered-merge trigger: compact when the live segment count reaches
+    ``max_segments`` (query-time read amplification grows with segment
+    count), then GC retired inputs past the grace period. Safe to call
+    after every ingest batch — a no-op below the threshold."""
+    live_path = os.path.join(out_dir, "live.json")
+    if not os.path.exists(live_path):
+        return {"skipped": True, "reason": "no index"}
+    with open(live_path) as f:
+        n_live = len(json.load(f)["segments"])
+    if n_live < max_segments:
+        return {"skipped": True, "n_segments": n_live}
+    m = compact_index(spark, out_dir, **compact_kw)
+    m["gc_removed"] = gc_segments(out_dir, grace_sec=gc_grace_sec)
+    return m
 
 
 def compact_index(spark: SparkSession, out_dir: str, *,
@@ -598,6 +689,9 @@ def compact_index(spark: SparkSession, out_dir: str, *,
             "next_doc_base", cs["doc_base"] + cs["n_docs"]))
     first = stats[0]
     n_buckets, block_size = first["n_buckets"], first["block_size"]
+    # inherit the inputs' salting layout (persisted since round 3); a
+    # custom-salted index must not silently compact to the default layout
+    salt_target = max(cs.get("salt_target", 1 << 16) for cs in stats)
     with_positions = all(cs["with_positions"] for cs in stats)
     n_docs = sum(cs["n_docs"] for cs in stats)
     sum_dl = sum(cs["sum_dl"] for cs in stats)
@@ -613,9 +707,11 @@ def compact_index(spark: SparkSession, out_dir: str, *,
         for fname, st in fields_json.items()}
 
     seg_root = os.path.join(out_dir, "segments")
-    segment = f"merged_{len(os.listdir(seg_root))}"
+    segment = f"merged_{next_seg_id(out_dir)}"
     seg_dir = os.path.join(seg_root, segment)
     ckpt_dir = os.path.join(seg_dir, "_ckpt")
+    if not resume:
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
     os.makedirs(ckpt_dir, exist_ok=True)
 
     def done(name: str) -> bool:
@@ -667,11 +763,12 @@ def compact_index(spark: SparkSession, out_dir: str, *,
                        "fields": fields_json,
                        "next_doc_base": next_doc_base,
                        "n_buckets": n_buckets, "block_size": block_size,
+                       "salt_target": salt_target,
                        "with_positions": with_positions}, f)
 
     n_terms_total, built_groups = _term_dict_and_postings(
         spark, seg_dir, field_stats, n_buckets=n_buckets,
-        block_size=block_size, salt_target=1 << 16, n_groups=n_groups,
+        block_size=block_size, salt_target=salt_target, n_groups=n_groups,
         broadcast_term_limit=broadcast_term_limit, done=done, mark=mark,
         lap=lap)
     groups = [sorted(range(n_buckets))[i::n_groups] for i in range(n_groups)]

@@ -160,3 +160,74 @@ def test_compaction_identical_and_composable(spark, tmp_path):
     incremental_update(spark, out, c, n_groups=1)
     store = E.doc_store(spark, E.open_index(out))
     assert store.count() == store.select("doc_id").distinct().count()
+
+
+def test_segment_names_never_reused_after_compaction(spark, tmp_path):
+    """Round-2 ADVICE (medium): appends after compaction must NOT rebuild
+    into a retained pre-compaction segment directory — names come from a
+    monotonic counter persisted in live.json."""
+    from planet_search_spark.indexing.build import compact_index
+
+    out = str(tmp_path / "nameidx")
+    kw = dict(n_buckets=4, block_size=16, n_groups=1)
+    a = synthesize_transcripts(spark, n_convs=8, seed=71)
+    b = synthesize_transcripts(spark, n_convs=4, seed=72) \
+        .selectExpr("concat('b_', conv_id) AS conv_id", "turn_idx", "role",
+                    "text", "tool", "ts")
+    c = synthesize_transcripts(spark, n_convs=4, seed=73) \
+        .selectExpr("concat('c_', conv_id) AS conv_id", "turn_idx", "role",
+                    "text", "tool", "ts")
+    build_index(spark, a, out, **kw)                    # seg_1
+    incremental_update(spark, out, b, **kw)             # seg_2
+    compact_index(spark, out, n_groups=1)               # merged_3
+    # pre-compaction inputs are retained on disk for old readers
+    on_disk = set(os.listdir(os.path.join(out, "segments")))
+    assert {"seg_1", "seg_2"} <= on_disk
+    incremental_update(spark, out, c, **kw)             # must be seg_4
+    with open(os.path.join(out, "live.json")) as f:
+        live = json.load(f)
+    assert live["segments"] == ["merged_3", "seg_4"]
+    # retained seg_2 was not touched
+    assert "seg_2" in set(os.listdir(os.path.join(out, "segments")))
+
+
+def test_gc_and_auto_compaction_bound_segments_and_disk(spark, tmp_path):
+    """VERDICT item 7 done-criterion: K ingest batches with maybe_compact
+    keep reader results identical while live-segment count and disk usage
+    stay bounded; gc_segments removes only non-live dirs past the grace."""
+    from planet_search_spark.indexing.build import gc_segments, maybe_compact
+
+    out = str(tmp_path / "gcidx")
+    kw = dict(n_buckets=4, block_size=16, n_groups=1)
+    batches = [synthesize_transcripts(spark, n_convs=6, seed=80 + i)
+               .selectExpr(f"concat('b{i}_', conv_id) AS conv_id",
+                           "turn_idx", "role", "text", "tool", "ts")
+               for i in range(5)]
+    build_index(spark, batches[0], out, **kw)
+    expected = batches[0]
+    for i, b in enumerate(batches[1:], start=1):
+        incremental_update(spark, out, b, **kw)
+        expected = expected.unionByName(b)
+        before = E.bm25_topk(spark, out, "error timeout", k=10**6,
+                             hydrate=True).toPandas()
+        m = maybe_compact(spark, out, max_segments=3, n_groups=1)
+        after = E.bm25_topk(spark, out, "error timeout", k=10**6,
+                            hydrate=True).toPandas()
+        key = lambda df: sorted(  # noqa: E731
+            (r.conv_id, r.turn_idx, round(r.score, 9))
+            for r in df.itertuples())
+        assert key(after) == key(before), f"batch {i}: {m}"
+        with open(os.path.join(out, "live.json")) as f:
+            assert len(json.load(f)["segments"]) <= 3
+    # GC removed the retired inputs (grace 0), live segments survive
+    with open(os.path.join(out, "live.json")) as f:
+        live = set(json.load(f)["segments"])
+    on_disk = set(os.listdir(os.path.join(out, "segments")))
+    assert on_disk == live, (on_disk, live)
+    # a fresh grace period protects nothing here (all non-live already gone)
+    assert gc_segments(out, grace_sec=3600.0) == []
+    # and the compacted index answers exactly like a single-shot build
+    full = str(tmp_path / "gcfull")
+    build_index(spark, expected, full, **kw)
+    assert _top(spark, out, "error timeout") == _top(spark, full,
+                                                     "error timeout")
