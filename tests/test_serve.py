@@ -86,6 +86,100 @@ def test_serve_phrase_matches_engine(spark, index_dir, phrase):
     assert got == want, phrase
 
 
+# -- full points_search composition parity (round-3: the serving path must
+#    cover the WHOLE template surface, not just the bare BM25 core) ----------
+
+from planet_search_spark.queries.params import SearchParams  # noqa: E402
+
+SEARCH_BRANCHES = [
+    SearchParams(query="error timeout retry"),
+    SearchParams(query="error timeout", operator="and"),
+    SearchParams(query="spark merg", prefix=True),
+    SearchParams(query="pre", prefix=True),
+    SearchParams(query="spak", fuzzy=True),
+    SearchParams(query="errr timout", fuzzy=True, operator="and"),
+    SearchParams(query="error timeout", filter_role="user"),
+    SearchParams(query="error timeout", filter_tool="search"),
+    SearchParams(query="the data", filter_role="tool", filter_tool="search"),
+    SearchParams(query="error timeout", recency=True),
+    SearchParams(query="error search", multifield=True),
+    SearchParams(query="assistant", multifield=True),
+    SearchParams(query="null pointer exception", phrase_tiers=True),
+    SearchParams(query="out of memory", phrase_tiers=True, multifield=True,
+                 recency=True),
+    SearchParams(query="assistnt", fuzzy=True, multifield=True),
+    SearchParams(query="error pre", prefix=True, recency=True,
+                 filter_role="user"),
+    SearchParams(query="שָׁלוֹם café", recency=True),
+    SearchParams(query="zzznothing"),
+]
+
+
+def _norm(rows):
+    out = [(int(r["doc_id"]), int(r["score"] * 10000.0 // 1)) for r in rows]
+    return sorted(out, key=lambda x: (-x[1], x[0]))
+
+
+@pytest.mark.parametrize("p", SEARCH_BRANCHES,
+                         ids=[f"{i}:{p.query[:16]}" for i, p in
+                              enumerate(SEARCH_BRANCHES)])
+def test_serve_full_search_matches_engine(spark, index_dir, p):
+    srv = LocalSearcher(index_dir)
+    got = srv.search(p)
+    want = [r.asDict() for r in E.search(spark, index_dir, p).collect()]
+    assert _norm(got) == _norm(want), p
+
+
+def test_serve_exact_path_matches_engine(spark, tmp_path):
+    """points_search_exact analogue: keyword equality, constant score 12,
+    prior tiebreak — serve must rank identically to the engine."""
+    from pyspark.sql import functions as F
+    rows = [("c", t, ["user", "assistant"][t % 2], "exact phrase here",
+             "search" if t % 3 == 0 else None, 1_767_225_600 + t)
+            for t in range(12)] + \
+           [("c", 99, "user", "something else", None, 1_767_225_700)]
+    tx = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, epoch bigint") \
+        .withColumn("ts", F.timestamp_seconds("epoch")).drop("epoch")
+    out = str(tmp_path / "exactidx")
+    build_index(spark, tx, out, n_buckets=2, block_size=8, n_groups=1)
+    srv = LocalSearcher(out)
+    for p in [SearchParams(query="Exact PHRASE here", exact=True, k=5),
+              SearchParams(query="exact phrase here", exact=True, k=5,
+                           filter_role="assistant"),
+              SearchParams(query="no such keyword", exact=True)]:
+        got = srv.search(p)
+        want = [r.asDict() for r in E.search(spark, out, p).collect()]
+        assert _norm(got) == _norm(want), p
+        assert [g["doc_id"] for g in got] == [w["doc_id"] for w in want], p
+
+
+def test_serve_hydration_is_bounded(index_dir):
+    """The round-2 scale-killer (full doc_store materialization) must stay
+    dead: hydrating k winners may cache at most the LRU cap, and the cache
+    starts empty."""
+    srv = LocalSearcher(index_dir)
+    assert len(srv._doc_cache) == 0
+    rows = srv.bm25_topk("error timeout retry", k=5)
+    assert rows and all("conv_id" in r for r in rows)
+    assert len(srv._doc_cache) <= srv._doc_cache_cap
+    assert len(srv._doc_cache) < srv.n_docs  # never the whole store
+
+
+def test_serve_fuzzy_blocking_matches_unblocked(index_dir):
+    """The pigeonhole block filter must be lossless on the real vocabulary."""
+    from planet_search_spark.queries import fuzzy as FZ
+    srv = LocalSearcher(index_dir)
+    for term in ["spak", "merg", "excutor", "timout", "kiten"]:
+        ed = FZ.auto_fuzz(term)
+        blocked = srv.expand_fuzzy(term, ed)
+        vocab = srv._dict_terms((0,), None)
+        want = sorted(t for t in vocab if FZ.lev_leq(t, term, ed))[:200] \
+            or [term]
+        assert blocked == want, term
+
+
 def test_serve_hydrates(index_dir):
     srv = LocalSearcher(index_dir)
     rows = srv.bm25_topk("error timeout", k=5)
