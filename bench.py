@@ -29,8 +29,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from planet_search_spark.indexing.build import build_index  # noqa: E402
 from planet_search_spark.queries import engine as E  # noqa: E402
 from planet_search_spark.queries.logical import QUERIES  # noqa: E402
+from planet_search_spark.queries.params import SearchParams  # noqa: E402
 from planet_search_spark.session import get_spark  # noqa: E402
-from planet_search_spark.transcripts import replicated_enriched_corpus  # noqa: E402
+from planet_search_spark.transcripts import (clustered_corpus,  # noqa: E402
+                                             replicated_enriched_corpus)
 
 
 def main():
@@ -40,10 +42,12 @@ def main():
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark(app="bench", cores=cpus, shuffle_partitions=max(cpus, 32))
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     tmp_root = os.environ.get(
         "SPARK_GRAFT_TMP",
         "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir())
     out_dir = tempfile.mkdtemp(prefix="psearch_idx_", dir=tmp_root)
+    clu_dir = tempfile.mkdtemp(prefix="psearch_clu_", dir=tmp_root)
     corpus_dir = tempfile.mkdtemp(prefix="psearch_corpus_", dir=tmp_root)
     try:
         # -- index build throughput (corpus materialized first: the build
@@ -59,25 +63,25 @@ def main():
 
         # -- segment-engine queries ----------------------------------------
         def timed(name, fn):
-            # record the better of two runs: at the ~2 s Spark job floor a
-            # single shot is dominated by JIT/scheduling jitter, which made
-            # plan comparisons (pruned vs unpruned) misread in round 1
-            fn()
+            # both methodologies side by side (round-2 VERDICT perf note 5):
+            # `cold` = the first run (file listing + footers + JIT included);
+            # `queries` = min of two warm runs (at the ~2 s local-mode job
+            # floor a single warm shot still carries scheduling jitter that
+            # misread the pruned-vs-unpruned pairs in rounds 1-2)
             t = time.time()
             fn()
-            timings[name] = round(time.time() - t, 3)
+            cold[name] = round(time.time() - t, 3)
+            warm = []
+            for _ in range(2):
+                t = time.time()
+                fn()
+                warm.append(time.time() - t)
+            timings[name] = round(min(warm), 3)
 
-        # unmeasured warmup: file listing + parquet footers + JVM JIT, so
-        # the pruned-vs-unpruned pairs below compare plans, not page cache
-        E.bm25_topk(spark, out_dir, "spark merge window", k=20,
-                    prune=False, hydrate=False).collect()
         timed("bm25_topk_wand", lambda: E.bm25_topk(
             spark, out_dir, "spark merge window", k=20, prune=True).collect())
-        timed("bm25_topk_nopune", lambda: E.bm25_topk(
+        timed("bm25_topk_noprune", lambda: E.bm25_topk(
             spark, out_dir, "spark merge window", k=20, prune=False).collect())
-        # single stopword top-k: the static block-max win — θ from the
-        # hottest blocks exceeds cold blocks' upper bounds, so most of the
-        # stopword's posting blocks are never decoded
         timed("bm25_topk_wand_stopword", lambda: E.bm25_topk(
             spark, out_dir, "the", k=20, prune=True).collect())
         timed("bm25_topk_noprune_stopword", lambda: E.bm25_topk(
@@ -88,8 +92,27 @@ def main():
             spark, out_dir, "spark search assistant", k=20).collect())
         timed("phrase_positional", lambda: E.phrase_match(
             spark, out_dir, "stream table hash").collect())
+        timed("phrase_stopword_bigram", lambda: E.phrase_match(
+            spark, out_dir, "the data").collect())
         timed("phrase_prefix_positional", lambda: E.phrase_prefix_match(
             spark, out_dir, "stream table ha").collect())
+
+        # -- clustered corpus: where block-max WAND actually prunes ---------
+        # (uniform corpora give doc-ordered blocks homogeneous bounds; real
+        # ingest order clusters topics in doc-id space — see transcripts.
+        # clustered_corpus. The stopword-shaped query df==N, but θ from the
+        # hot prefix blocks exceeds every cold block's upper bound.)
+        n_clu = max(200_000, n_turns // 2)
+        clu = clustered_corpus(spark, n_clu, parallelism=max(cpus * 2, 16),
+                               out_path=f"{corpus_dir}/clu.parquet")
+        t0 = time.time()
+        build_index(spark, clu, clu_dir, n_buckets=32, n_groups=1,
+                    with_positions=False)
+        timings["index_build_clustered"] = round(time.time() - t0, 3)
+        timed("bm25_topk_wand_clustered", lambda: E.bm25_topk(
+            spark, clu_dir, "hotterm", k=20, prune=True).collect())
+        timed("bm25_topk_noprune_clustered", lambda: E.bm25_topk(
+            spark, clu_dir, "hotterm", k=20, prune=False).collect())
 
         # low-latency serving path (no Spark jobs; same segments)
         import statistics
@@ -102,6 +125,26 @@ def main():
             srv.bm25_topk("spark merge window", k=20)
             lat.append(time.time() - t)
         timings["serve_bm25_topk_p50"] = round(statistics.median(lat), 4)
+        # the FULL points_search composition on the serving path (round-3):
+        # multifield boosts + phrase tiers + function_score + recency decay
+        p_full = SearchParams(query="spark merge window", multifield=True,
+                              phrase_tiers=True, recency=True)
+        srv.search(p_full)  # warm
+        lat = []
+        for _ in range(20):
+            t = time.time()
+            srv.search(p_full)
+            lat.append(time.time() - t)
+        timings["serve_full_search_p50"] = round(statistics.median(lat), 4)
+        p_exp = SearchParams(query="spark mer", prefix=True, fuzzy=False,
+                             multifield=True)
+        srv.search(p_exp)
+        lat = []
+        for _ in range(20):
+            t = time.time()
+            srv.search(p_exp)
+            lat.append(time.time() - t)
+        timings["serve_prefix_search_p50"] = round(statistics.median(lat), 4)
 
         # -- logical (raw-table) operator suite at the sf dir ---------------
         for name in ["bm25_or", "bm25_and", "bm25_topk", "prefix_search",
@@ -112,7 +155,8 @@ def main():
         total = round(sum(timings.values()), 3)
         print(json.dumps({
             "metric": "index_build_and_query_suite_sec",
-            "value": total, "unit": "sec", "queries": timings, "sf": sf,
+            "value": total, "unit": "sec", "queries": timings,
+            "queries_cold": cold, "sf": sf,
             "build": {"n_docs": metrics["n_docs"],
                       "turns_per_sec": round(metrics["turns_per_sec"], 1),
                       "n_terms": metrics["n_terms"],
@@ -122,6 +166,7 @@ def main():
         }))
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(clu_dir, ignore_errors=True)
         shutil.rmtree(corpus_dir, ignore_errors=True)
         spark.stop()
 

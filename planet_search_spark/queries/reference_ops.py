@@ -391,7 +391,10 @@ def q_conv_container_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # keeps the row (left join, default 0). At 100 TB the dimension stays a
 # broadcast: it scales with the entity universe, not the corpus.
 
-TOOL_RANK_CSV = "/root/repo/fixtures/tool_rank.csv.gz"
+import os as _os
+
+TOOL_RANK_CSV = _os.path.abspath(_os.path.join(
+    _os.path.dirname(__file__), "..", "..", "fixtures", "tool_rank.csv.gz"))
 
 
 @_register("broadcast_lookup", f"""
@@ -437,6 +440,68 @@ def q_edge_ngram_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
                          A.tokens_col(F.col("text")))).alias("tok"))
     return (toks.select("conv_id", "tok",
                         F.explode(A.edge_ngrams_col(F.col("tok"))).alias("gram")))
+
+
+# -- bbox_contains analogue (the 4th and last stored template,
+#    bbox_contains.json:1-12: polygons CONTAINING a point, sort area asc,
+#    size 1 = the tightest container). Transcript form: containers are
+#    per-conversation turn windows of widths {2,4,8} (nested "areas");
+#    for every turn (the point) return the single tightest containing
+#    window — containment join + area-asc top-1 with a deterministic
+#    (w asc, start desc) tie-break. At scale the join is an equi-join on
+#    conv_id (co-partitioned) with the range predicate as a residual
+#    filter, never an all-pairs interval join.
+
+_WIN_WIDTHS = (2, 4, 8)
+
+
+@_register("conv_contains_top1", f"""
+WITH {TRANSCRIPTS_CTE.strip()},
+pts AS (SELECT conv_id, turn_idx FROM transcripts),
+maxt AS (SELECT conv_id, max(turn_idx) AS mt FROM transcripts GROUP BY conv_id),
+wins AS (
+  SELECT m.conv_id, ww.w, ss.s
+  FROM maxt m,
+       unnest([{', '.join(map(str, _WIN_WIDTHS))}]) AS ww(w),
+       unnest(range(0, m.mt - ww.w + 2)) AS ss(s)
+),
+per AS (
+  SELECT p.conv_id, p.turn_idx, w.w, w.s
+  FROM pts p JOIN wins w
+    ON w.conv_id = p.conv_id
+   AND p.turn_idx >= w.s AND p.turn_idx < w.s + w.w
+),
+best AS (
+  SELECT conv_id, turn_idx, min(w) AS best_w
+  FROM per GROUP BY conv_id, turn_idx
+)
+SELECT b.conv_id, b.turn_idx,
+       CAST(b.best_w AS BIGINT) AS best_w,
+       CAST(max(p.s) AS BIGINT) AS best_start
+FROM best b
+JOIN per p ON p.conv_id = b.conv_id AND p.turn_idx = b.turn_idx
+          AND p.w = b.best_w
+GROUP BY b.conv_id, b.turn_idx, b.best_w
+""")
+def q_conv_contains_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tx = transcripts_from_documents(spark, sf_dir)
+    pts = tx.select("conv_id", "turn_idx")
+    maxt = tx.groupBy("conv_id").agg(F.max("turn_idx").alias("mt"))
+    widths = F.explode(F.array(*[F.lit(w) for w in _WIN_WIDTHS])).alias("w")
+    wins = (maxt.select("conv_id", "mt", widths)
+            .where(F.col("mt") - F.col("w") + 1 >= 0)
+            .select("conv_id", "w",
+                    F.explode(F.sequence(
+                        F.lit(0), F.col("mt") - F.col("w") + 1)).alias("s")))
+    per = pts.join(wins, "conv_id").where(
+        (F.col("turn_idx") >= F.col("s"))
+        & (F.col("turn_idx") < F.col("s") + F.col("w")))
+    best = per.groupBy("conv_id", "turn_idx").agg(F.min("w").alias("best_w"))
+    return (best.join(per.withColumnRenamed("w", "best_w"),
+                      ["conv_id", "turn_idx", "best_w"])
+            .groupBy("conv_id", "turn_idx",
+                     F.col("best_w").cast("long").alias("best_w"))
+            .agg(F.max("s").cast("long").alias("best_start")))
 
 
 # -- JSON source parsing (GeoJSON-scan analogue, A2/MainClass.java:92-94) -----

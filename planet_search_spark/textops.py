@@ -404,9 +404,10 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # at least one band value — the single top-byte band of round 1 silently
 # missed any pair whose differing bits fell in the top byte. Candidates are
 # the per-band bucket self-joins, unioned and deduped, then EXACT-verified
-# with bit_count. (Scale path: a 64-bit simhash with 4x16-bit bands — same
-# plan shape, finer buckets; the 16-bit width is the frozen cross-engine
-# test spec.)
+# with bit_count. The 16-bit width stays ONLY as the frozen cross-engine
+# test spec; the scale default is the 64-bit form below (4x16-bit bands =
+# 65536 buckets per band, so per-bucket self-joins stay tiny at any corpus
+# size — the round-2 VERDICT's one residual dedup scale risk).
 SIMHASH_BANDS = 4
 SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
 
@@ -455,6 +456,126 @@ def simhash_banded_pairs(sims: DataFrame) -> DataFrame:
                          F.col("b.simhash"))).cast("int").alias("hamming"))
              .distinct())
     return pairs.where(F.col("hamming") <= 2)
+
+
+# ---------------------------------------------------------------------------
+# 64-bit SimHash — the scale default (round-3; VERDICT item 5)
+# ---------------------------------------------------------------------------
+# Represented as two 32-bit halves (sim_hi, sim_lo) so neither engine ever
+# touches the int64 sign bit: token hash halves come from md5 hex chars 1-8
+# (lo) and 9-16 (hi); simhash bit k of a half is 1 iff the per-occurrence
+# +/-1 sum of that bit is > 0. Banding: 4 disjoint 16-bit bands -> 65536
+# buckets per band, so the per-bucket self-join is O((N/65536)^2) per band —
+# the pigeonhole guarantee (<=2 differing bits touch <=2 of 4 bands) is
+# unchanged from the 16-bit form.
+
+SIMHASH64_BANDS = 4
+SIMHASH64_BAND_BITS = 16
+
+
+def _spark_simhash64(docs_with_toks: DataFrame) -> DataFrame:
+    tok = docs_with_toks.select("doc_id", F.explode("toks").alias("t"))
+    tok = tok.withColumn(
+        "hlo", F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long"))
+    tok = tok.withColumn(
+        "hhi", F.conv(F.substring(F.md5("t"), 9, 8), 16, 10).cast("long"))
+    aggs = [F.sum(F.shiftright(F.col(c), k).bitwiseAND(F.lit(1)) * 2 - 1)
+            .alias(f"{c}_{k}")
+            for c in ("hlo", "hhi") for k in range(32)]
+    g = tok.groupBy("doc_id").agg(*aggs)
+    halves = {}
+    for c in ("hlo", "hhi"):
+        sim = None
+        for k in range(32):
+            bit = F.when(F.col(f"{c}_{k}") > 0,
+                         F.lit(1 << k)).otherwise(F.lit(0))
+            sim = bit if sim is None else sim + bit
+        halves[c] = sim.cast("long")
+    return g.select("doc_id", halves["hhi"].alias("sim_hi"),
+                    halves["hlo"].alias("sim_lo"))
+
+
+def _sql_simhash64(corpus_cte: str) -> str:
+    sums = ", ".join(
+        f"sum((({h} >> {k}) & 1) * 2 - 1) AS {h}_{k}"
+        for h in ("hlo", "hhi") for k in range(32))
+    bits = {h: " + ".join(
+        f"(CASE WHEN {h}_{k} > 0 THEN {1 << k} ELSE 0 END)"
+        for k in range(32)) for h in ("hlo", "hhi")}
+    return f"""
+{corpus_cte}
+toks64 AS (
+  SELECT doc_id, unnest({A.sql_tokens_expr('text')}) AS t FROM corpus
+),
+hashed64 AS (
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS hlo,
+         ('0x' || substr(md5(t), 9, 8))::BIGINT AS hhi
+  FROM toks64
+),
+grouped64 AS (SELECT doc_id, {sums} FROM hashed64 GROUP BY doc_id),
+simhashes64 AS (
+  SELECT doc_id, CAST({bits['hhi']} AS BIGINT) AS sim_hi,
+         CAST({bits['hlo']} AS BIGINT) AS sim_lo
+  FROM grouped64)
+"""
+
+
+def simhash64_banded_pairs(sims: DataFrame) -> DataFrame:
+    """(doc_id, sim_hi, sim_lo) -> exact Hamming<=2 pairs via 4x16-bit
+    banding (bands 0-1 from the low half, 2-3 from the high half)."""
+    mask = (1 << SIMHASH64_BAND_BITS) - 1
+    bid = F.col("band_id")
+    band_val = (
+        F.when(bid == 0, F.col("sim_lo").bitwiseAND(F.lit(mask)))
+         .when(bid == 1, F.shiftright(F.col("sim_lo"),
+                                      SIMHASH64_BAND_BITS)
+                          .bitwiseAND(F.lit(mask)))
+         .when(bid == 2, F.col("sim_hi").bitwiseAND(F.lit(mask)))
+         .otherwise(F.shiftright(F.col("sim_hi"), SIMHASH64_BAND_BITS)
+                     .bitwiseAND(F.lit(mask))))
+    banded = (sims.select(
+        "doc_id", "sim_hi", "sim_lo",
+        F.explode(F.array(*[F.lit(i) for i in range(SIMHASH64_BANDS)])
+                  ).alias("band_id"))
+        .withColumn("band_val", band_val))
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = (F.bit_count(F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo")))
+           + F.bit_count(F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi"))))
+    pairs = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+                    & (F.col("a.band_val") == F.col("b.band_val"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"),
+                     ham.cast("int").alias("hamming"))
+             .distinct())
+    return pairs.where(F.col("hamming") <= 2)
+
+
+@_register("simhash64_neardup", f"""
+WITH {_sql_simhash64(_SQL_NEARDUP_CORPUS.strip() + ',').strip()},
+banded64 AS (
+  SELECT doc_id, sim_hi, sim_lo, b.b AS band_id,
+         ((CASE WHEN b.b < 2 THEN sim_lo ELSE sim_hi END)
+          >> ({SIMHASH64_BAND_BITS} * (b.b % 2)))
+         & {(1 << SIMHASH64_BAND_BITS) - 1} AS band_val
+  FROM simhashes64, (VALUES (0), (1), (2), (3)) AS b(b)
+),
+pairs64 AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.sim_lo, b.sim_lo))
+         + bit_count(xor(a.sim_hi, b.sim_hi)) AS hamming
+  FROM banded64 a JOIN banded64 b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+FROM pairs64 WHERE hamming <= 2
+""")
+def q_simhash64_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _neardup_corpus(spark, sf_dir) \
+        .select("doc_id", A.tokens_col(F.col("text")).alias("toks")) \
+        .where(F.size("toks") > 0)
+    return simhash64_banded_pairs(_spark_simhash64(corpus))
 
 
 # ---------------------------------------------------------------------------

@@ -139,6 +139,49 @@ def synthesize_transcripts(spark: SparkSession, n_convs: int = 50,
     return df.withColumn("ts", F.timestamp_seconds("epoch")).drop("epoch")
 
 
+def clustered_corpus(spark: SparkSession, n_turns: int,
+                     hot_docs: int = 8192, parallelism: int = 64,
+                     out_path: str | None = None) -> DataFrame:
+    """Deterministic TOPICALLY CLUSTERED benchmark corpus — the corpus shape
+    where block-max WAND actually prunes (round-2 VERDICT item 4: on a
+    uniform corpus doc-ordered blocks have homogeneous bounds, so θ never
+    exceeds a cold block's upper bound and pruning is cost-neutral at best).
+
+    Every turn contains ``hotterm`` (the stopword shape: df == N), but the
+    first ``hot_docs`` doc_ids carry it with tf=8 in a SHORT turn (high
+    BM25) while the long tail carries tf=1 in a LONG turn (low BM25) —
+    real corpora look like this: topical documents cluster in doc-id space
+    when ingest is stream/source ordered. With doc-ordered blocks the hot
+    prefix fills whole blocks per salt group, so θ (from the pure-hot
+    blocks' lower bounds) exceeds every cold block's upper bound and the
+    tail is never decoded. hot_docs=8192 keeps >=4 full 128-doc blocks per
+    salt group even at nsalt=16 (df=10^6 at the default salt_target).
+    """
+    d = F.col("id")
+    key = F.md5(d.cast("string"))
+    fill = [F.concat(F.lit(c), F.substring(key, i * 6 + 1, 6))
+            for i, c in enumerate("abcdefghijkl")]
+    hot_text = F.concat_ws(" ", *([F.lit("hotterm")] * 8), *fill[:2])
+    cold_text = F.concat_ws(" ", F.lit("hotterm"), *fill)
+    out = (spark.range(n_turns).repartition(parallelism)
+           .select(
+               # conv ids sort in doc_id order -> clustering survives the
+               # build's (conv_id, turn_idx) global sort
+               F.format_string("c%012d", d).alias("conv_id"),
+               F.lit(0).alias("turn_idx"),
+               F.element_at(F.array(*[F.lit(r) for r in ROLES]),
+                            (d % 4).cast("int") + 1).alias("role"),
+               F.when(d < hot_docs, hot_text).otherwise(cold_text)
+                .alias("text"),
+               F.when(d % 3 == 0, F.lit("search"))
+                .otherwise(F.lit(None).cast("string")).alias("tool"),
+               F.timestamp_seconds(F.lit(EPOCH_S) + d % 86_400).alias("ts")))
+    if out_path:
+        out.write.mode("overwrite").parquet(out_path)
+        return spark.read.parquet(out_path)
+    return out
+
+
 def replicated_enriched_corpus(spark: SparkSession, sf_dir: str,
                                n_turns: int, parallelism: int = 64,
                                out_path: str | None = None) -> DataFrame:

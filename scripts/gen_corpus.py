@@ -128,6 +128,90 @@ def build_cases() -> list[dict]:
     # analyzer-stress composition
     add("COMBO-HEBREW-REC-00", "שָׁלוֹם café", operator="or", recency=True)
     add("COMBO-APOS-AND-00", "Pike's O’Brien", operator="or")
+
+    # ---- round-3 growth toward the reference's 315-case corpus ----------
+    # 13. dense OR mid x mid coverage
+    for i in range(17):
+        for j in (1, 5):
+            add(f"OR2X-{i:02d}-{j}", f"{MID[i]} {MID[(i + j) % 17]}",
+                operator="or")
+    # 14. hot x hot (stopword-heavy disjunctions, the WAND-shaped queries)
+    for i in range(6):
+        add(f"ORHOT-{i:02d}", f"{HOT[i]} {HOT[(i + 1) % 6]}", operator="or")
+    # 15. AND over mid pairs + triples (selective conjunctions)
+    for i in range(10):
+        add(f"ANDX-{i:02d}", f"{MID[i]} {MID[(i + 3) % 17]}", operator="and")
+    for i in range(5):
+        add(f"ANDX3-{i:02d}",
+            f"{HOT[i]} {MID[i]} {MID[(i + 7) % 17]}", operator="and")
+    # 16. prefix cross products (multifield / recency / AND / filters)
+    pref = ["pre", "shu", "tok", "chec", "sal", "me", "tra", "bro"]
+    for i, p in enumerate(pref):
+        add(f"PREFIX-MF-{i:02d}", p, prefix=True, multifield=True)
+        add(f"PREFIX-REC-{i:02d}", f"{HOT[i % 6]} {p}", prefix=True,
+            recency=True)
+    for i in range(4):
+        add(f"PREFIX-AND-{i:02d}", f"error {pref[i]}", operator="and",
+            prefix=True)
+        add(f"PREFIX-FILT-{i:02d}", f"{MID[i]} {pref[i + 2]}", prefix=True,
+            filterRole=["user", "assistant", "system", "tool"][i])
+    # 17. fuzzy cross products
+    fz = ["spak", "sparq", "merg", "shufle", "excutor", "kiten", "timout",
+          "brodcast"]
+    for i, t in enumerate(fz):
+        add(f"FUZZY-REC-{i:02d}", t, fuzzy=True, recency=True)
+        add(f"FUZZY-MF-{i:02d}", t, fuzzy=True, multifield=True)
+    for i in range(4):
+        add(f"FUZZY-AND-{i:02d}", f"{fz[i]} {fz[i + 4]}", operator="and",
+            fuzzy=True)
+        add(f"FUZZY-FILT-{i:02d}", fz[i], fuzzy=True,
+            filterTool=["search", "code", "browse", "search"][i])
+    # 18. tiers cross products (phrases x filters/recency/multifield)
+    for i, p in enumerate(PHRASES):
+        add(f"TIERS-REC-{i:02d}", p, phraseTiers=True, recency=True)
+        add(f"TIERS-MF-{i:02d}", p, phraseTiers=True, multifield=True)
+        add(f"TIERS-FILT-{i:02d}", p, phraseTiers=True,
+            filterRole=["user", "assistant", "tool", "system", "user"][i])
+    # 19. filter grid (role x tool) over two query shapes
+    for r in ["user", "assistant", "system", "tool"]:
+        for t in ["search", "code", "browse"]:
+            add(f"FILTGRID-{r[:2]}-{t[:2]}", "error timeout retry",
+                filterRole=r, filterTool=t)
+    for i, r in enumerate(["user", "assistant", "system", "tool"]):
+        add(f"FILTREC-{i:02d}", f"the {MID[i + 10]}", filterRole=r,
+            recency=True)
+    # 20. k sweeps (top-k cutoff behavior incl. deep and k=1)
+    for i, k in enumerate([1, 3, 5, 50, 100]):
+        add(f"KSWEEP-{i:02d}", "error timeout retry", k=k)
+        add(f"KSWEEP-AND-{i:02d}", "error timeout", operator="and", k=k)
+    # 21. multifield breadth (meta-vocab terms x dimensions)
+    meta_q = ["user search", "assistant code", "tool browse", "system",
+              "search browse", "code"]
+    for i, q in enumerate(meta_q):
+        add(f"MF-X-{i:02d}", q, multifield=True)
+        add(f"MF-REC-{i:02d}", q, multifield=True, recency=True)
+    for i in range(3):
+        add(f"MF-AND-{i:02d}", meta_q[i], operator="and", multifield=True)
+    # 22. exotic analyzer stress x dimensions
+    for i, t in enumerate(EXOTIC):
+        add(f"EXOTIC-REC-{i:02d}", t, recency=True)
+    add("EXOTIC-AND-00", "café naïve", operator="and")
+    add("EXOTIC-PREFIX-00", "Mü", prefix=True)
+    add("EXOTIC-FUZZY-00", "Muller", fuzzy=True)
+    # 23. triple-dimension combos
+    add("COMBO3-00", "error pre", prefix=True, multifield=True, recency=True)
+    add("COMBO3-01", "spak", fuzzy=True, multifield=True, recency=True)
+    add("COMBO3-02", "out of memory", phraseTiers=True, recency=True,
+        filterRole="user")
+    add("COMBO3-03", "errr timout", fuzzy=True, operator="and", recency=True)
+    add("COMBO3-04", "the chec", prefix=True, filterTool="code",
+        recency=True)
+    add("COMBO3-05", "null pointer exception", phraseTiers=True,
+        multifield=True, filterRole="assistant")
+    add("COMBO3-06", "data shu", prefix=True, operator="and",
+        multifield=True)
+    add("COMBO3-07", "kiten sittng", fuzzy=True, recency=True,
+        filterRole="user")
     return c
 
 
@@ -171,6 +255,44 @@ def add_trio_cases(cases: list[dict], bf: BruteForceIndex) -> None:
                   "expectedTarget": {"convId": "conv_does_not_exist",
                                      "turnIdx": 0}})
 
+    # round-3 growth: programmatic trio cases across the query dimensions,
+    # expectations computed once from the independent brute-force oracle
+    trio_qs = [
+        ("error timeout", {}), ("spark merge", {}),
+        ("shuffle partition", {}), ("broadcast executor", {}),
+        ("checkpoint", {"recency": True}), ("segment merge", {}),
+        ("tokenize", {"filterRole": "user"}), ("varbyte", {}),
+        ("out of memory", {"phraseTiers": True}),
+        ("pre", {"prefix": True}), ("spak", {"fuzzy": True}),
+        ("assistant code", {"multifield": True}),
+        ("stack trace follows", {"phraseTiers": True}),
+        ("lineage metric", {}), ("salting skew", {}),
+    ]
+    for i, (q, kw) in enumerate(trio_qs):
+        rows = top(q, **kw)
+        if not rows:
+            continue
+        t = rows[0]
+        d = byid[(t["conv_id"], t["turn_idx"])]
+        if i % 3 == 0:
+            cases.append({"id": f"TRIO-TGT-{i:02d}", "query": q, **kw,
+                          "topN": 5,
+                          "expectedTarget": {"convId": t["conv_id"],
+                                             "turnIdx": t["turn_idx"]}})
+        elif i % 3 == 1:
+            cases.append({"id": f"TRIO-EXACT-{i:02d}", "query": q, **kw,
+                          "topN": 10, "radiusSec": 96 * 3600,
+                          "expectedTsEpoch": d["ts_epoch"],
+                          "expectedExactText": d["text"]})
+        else:
+            cases.append({"id": f"TRIO-ANY-{i:02d}", "query": q, **kw,
+                          "topN": 10, "radiusSec": 48 * 3600,
+                          "expectedTsEpoch": d["ts_epoch"]})
+    cases.append({"id": "TRIO-ALLOW-FAILURE-01", "query": "qqqnothing here",
+                  "topN": 3, "allowFailure": True, "radiusSec": 60,
+                  "expectedTsEpoch": 0,
+                  "expectedExactText": "no such turn text"})
+
 
 def main():
     rows = [dict(zip(("conv_id", "turn_idx", "role", "text", "tool",
@@ -181,7 +303,7 @@ def main():
     add_trio_cases(cases, bf)
     nonempty = sum(1 for case in cases
                    if len(bf.search(params_of(case))))
-    assert len(cases) >= 100, len(cases)
+    assert len(cases) >= 300, len(cases)
     assert nonempty >= int(0.85 * len(cases)), \
         f"only {nonempty}/{len(cases)} cases match anything"
     out = os.path.join(os.path.dirname(__file__), "..", "fixtures",
