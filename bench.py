@@ -114,9 +114,26 @@ def main():
         timed("bm25_topk_noprune_clustered", lambda: E.bm25_topk(
             spark, clu_dir, "hotterm", k=20, prune=False).collect())
 
-        # low-latency serving path (no Spark jobs; same segments)
+        # serving-side WAND pair on the clustered index: no Spark job floor,
+        # so the pruning win is undiluted (decode skipped for cold blocks)
         import statistics
         from planet_search_spark.queries.serve import LocalSearcher
+        srv_clu = LocalSearcher(clu_dir)
+        for name, kw in [("serve_wand_clustered_p50", dict(prune=True)),
+                         ("serve_noprune_clustered_p50", {})]:
+            srv_clu.bm25_topk("hotterm", k=20, hydrate=False, **kw)  # warm
+            lat = []
+            for _ in range(9):
+                # cold posting cache each call (the pruned path never
+                # caches, so a warm unpruned cache would bias the pair):
+                # both sides measure fetch + decode + score per query
+                srv_clu._term_cache.clear()
+                t = time.time()
+                srv_clu.bm25_topk("hotterm", k=20, hydrate=False, **kw)
+                lat.append(time.time() - t)
+            timings[name] = round(statistics.median(lat), 4)
+
+        # low-latency serving path (no Spark jobs; same segments)
         srv = LocalSearcher(out_dir)
         srv.bm25_topk("spark", k=5)  # warm dataset handles
         lat = []

@@ -66,6 +66,7 @@ class LocalSearcher:
                                        partitioning="hive")
                             for sd in self.seg_dirs]
         self._term_cache: dict = {}  # term -> decoded (ids, tfs, dls)
+        self._pos_cache: dict = {}   # term -> packed (doc_id, pos) keys
         self._term_cache_cap = 4096
         # bounded stored-fields cache (round-2 "what's wrong" #1: the old
         # lazy FULL doc_store materialization dies at 10^12 docs); misses
@@ -147,10 +148,120 @@ class LocalSearcher:
 
     # -- queries ---------------------------------------------------------------
 
+    def _postings_arrays_pruned(self, terms: list[str], k: int,
+                                field_id: int = 0,
+                                prune_stats: dict | None = None) -> dict:
+        """Block-max WAND pruned postings — EXACT top-k (same θ derivation
+        and exactness argument as the engine, `engine.py` module docstring),
+        but in numpy over the already-fetched block metadata: θ costs
+        microseconds here, and pruned blocks skip the varbyte DECODE (the
+        dominant serving cost on hot terms). Never cached (the kept set
+        depends on k)."""
+        n, avgdl = self._field_stats("text" if field_id == 0 else "meta")
+        acc: dict[str, dict] = {t: {"n": [], "d": [], "t": [], "l": [],
+                                    "ub": [], "lb": []} for t in terms}
+        cols = ["term", "n_docs", "docs_bin", "tfs_bin", "dls_bin",
+                "max_tf", "min_dl", "min_tf", "max_dl"]
+        buckets = sorted({bucket_of(t, self.n_buckets) for t in terms})
+        filt = (ds.field("bucket").isin(buckets)
+                & (ds.field("field") == field_id)
+                & ds.field("term").isin(terms))
+        for d in self._postings:
+            tbl = d.to_table(columns=cols, filter=filt)
+            tcol = tbl.column("term").to_pylist()
+            ncol = tbl.column("n_docs").to_pylist()
+            dbin = tbl.column("docs_bin").to_pylist()
+            tbin = tbl.column("tfs_bin").to_pylist()
+            lbin = tbl.column("dls_bin").to_pylist()
+            # bounds recomputed after per-term df aggregation below (idf is
+            # a per-term constant; (max_tf, min_dl) / (min_tf, max_dl) are
+            # the stored dominating pairs)
+            ubp = list(zip(tbl.column("max_tf").to_pylist(),
+                           tbl.column("min_dl").to_pylist()))
+            lbp = list(zip(tbl.column("min_tf").to_pylist(),
+                           tbl.column("max_dl").to_pylist()))
+            for i, t in enumerate(tcol):
+                a = acc[t]
+                a["n"].append(ncol[i])
+                a["d"].append(dbin[i])
+                a["t"].append(tbin[i])
+                a["l"].append(lbin[i])
+                a["ub"].append(ubp[i])
+                a["lb"].append(lbp[i])
+        k1, b = S.K1, S.B
+        tfn = lambda tf, dl: tf / (tf + k1 * (1 - b + b * dl / avgdl))  # noqa: E731
+        per_term = {}
+        for t, a in acc.items():
+            if not a["n"]:
+                continue
+            df = float(sum(a["n"]))
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            ubs = np.array([idf * tfn(mt, md) for mt, md in a["ub"]])
+            lbs = np.array([idf * tfn(mt, md) for mt, md in a["lb"]])
+            per_term[t] = (a, df, ubs, lbs)
+        if not per_term:
+            return {}
+        mx = {t: float(v[2].max()) for t, v in per_term.items()}
+        total = sum(mx.values())
+        theta = 0.0
+        for t, (a, df, ubs, lbs) in per_term.items():
+            order = np.argsort(-lbs)
+            cum = np.cumsum(np.asarray(a["n"], dtype=np.int64)[order])
+            hit = np.flatnonzero(cum >= k)
+            if hit.size:
+                theta = max(theta, float(lbs[order[hit[0]]]))
+        out, blocks_total, blocks_kept = {}, 0, 0
+        for t, (a, df, ubs, lbs) in per_term.items():
+            other = total - mx[t]
+            keep = (ubs + other) >= theta - 1e-12
+            blocks_total += keep.size
+            blocks_kept += int(keep.sum())
+            if not keep.any():
+                continue
+            n_docs = np.asarray(a["n"], dtype=np.int64)[keep]
+            ids = codec.decode_positions(
+                b"".join(d for d, m in zip(a["d"], keep) if m), n_docs)
+            out[t] = (ids,
+                      codec.varbyte_decode(
+                          b"".join(x for x, m in zip(a["t"], keep) if m)),
+                      codec.varbyte_decode(
+                          b"".join(x for x, m in zip(a["l"], keep) if m)),
+                      df)
+        if prune_stats is not None:
+            prune_stats.update(theta=theta, blocks_total=blocks_total,
+                               blocks_kept=blocks_kept)
+        return out
+
     def bm25_topk(self, query: str, k: int = 20, *,
-                  require_all: bool = False, hydrate: bool = True):
-        """Exact BM25 top-k; identical results to the Spark engine path."""
+                  require_all: bool = False, hydrate: bool = True,
+                  prune: bool = False, prune_stats: dict | None = None):
+        """Exact BM25 top-k; identical results to the Spark engine path.
+        ``prune=True`` enables serving-side block-max WAND (exact; disabled
+        under require_all — unsound for conjunctive results)."""
         terms = sorted(set(A.py_tokens(query)))
+        if prune and not require_all and terms:
+            posts = self._postings_arrays_pruned(terms, k,
+                                                 prune_stats=prune_stats)
+            if not posts:
+                return []
+            all_ids = np.concatenate([p[0] for p in posts.values()])
+            uniq = np.unique(all_ids)
+            scores = np.zeros(uniq.size)
+            for t, (ids, tfs, dls, df) in posts.items():
+                idx = np.searchsorted(uniq, ids)
+                np.add.at(scores, idx, self._term_score(
+                    tfs.astype(np.float64), dls.astype(np.float64), df))
+            kk = min(k, uniq.size)
+            if kk < uniq.size:
+                part = np.argpartition(-scores, kk - 1)
+                boundary = scores[part[kk - 1]]
+                sel = np.flatnonzero(scores >= boundary)
+            else:
+                sel = np.arange(uniq.size)
+            order = sel[np.lexsort((uniq[sel], -scores[sel]))][:kk]
+            rows = [{"doc_id": int(uniq[i]), "score": float(scores[i])}
+                    for i in order]
+            return self._hydrate(rows) if hydrate else rows
         posts = self._postings_arrays(terms) if terms else {}
         if not posts:
             return []
@@ -240,9 +351,14 @@ class LocalSearcher:
 
     def _pos_keys(self, terms: list[str]) -> dict:
         """term -> sorted packed (doc_id, pos) keys, merged over segments —
-        one vectorized pass per segment, never per-doc Python."""
+        one vectorized pass per segment, never per-doc Python. Hot phrase
+        terms are LRU-cached like the postings term cache."""
         from ..indexing.build import FIELDS
-        uniq = sorted(set(terms))
+        out = {t: self._pos_cache[t] for t in set(terms)
+               if t in self._pos_cache}
+        uniq = sorted(set(terms) - out.keys())
+        if not uniq:
+            return out
         buckets = sorted({bucket_of(t, self.n_buckets) for t in uniq})
         filt = (ds.field("bucket").isin(buckets)
                 & (ds.field("field") == FIELDS["text"])
@@ -259,8 +375,12 @@ class LocalSearcher:
             terms_arr = np.asarray(tbl.column("term").to_pylist(), dtype=object)
             for t in uniq:
                 parts[t].append(keys[terms_arr == t])
-        return {t: np.sort(np.concatenate(p)) if p else
-                np.empty(0, dtype=np.int64) for t, p in parts.items()}
+        for t, p in parts.items():
+            out[t] = (np.sort(np.concatenate(p)) if p
+                      else np.empty(0, dtype=np.int64))
+            if len(self._pos_cache) < self._term_cache_cap:
+                self._pos_cache[t] = out[t]
+        return out
 
     def phrase_match(self, phrase: str, *, hydrate: bool = False):
         """Positional phrase match over the same ``pos_partial`` table the

@@ -86,6 +86,41 @@ def test_serve_phrase_matches_engine(spark, index_dir, phrase):
     assert got == want, phrase
 
 
+@pytest.mark.parametrize("query", ["error timeout retry", "the data",
+                                   "spark", "the", "kitten sitting"])
+def test_serve_wand_matches_unpruned(index_dir, query):
+    """Serving-side block-max WAND must be EXACT: pruned == unpruned,
+    doc-for-doc and score-for-score, on a multi-segment index."""
+    srv = LocalSearcher(index_dir)
+    stats: dict = {}
+    got = srv.bm25_topk(query, k=10, hydrate=False, prune=True,
+                        prune_stats=stats)
+    want = srv.bm25_topk(query, k=10, hydrate=False)
+    assert [(g["doc_id"], round(g["score"], 10)) for g in got] == \
+           [(w["doc_id"], round(w["score"], 10)) for w in want], query
+    assert stats["blocks_kept"] <= stats["blocks_total"]
+
+
+def test_serve_wand_prunes_on_clustered_corpus(spark, tmp_path):
+    """On a clustered corpus (hot prefix fills whole blocks) the serving
+    reader must actually DROP most blocks while staying exact."""
+    from planet_search_spark.transcripts import clustered_corpus
+    out = str(tmp_path / "cluidx")
+    tx = clustered_corpus(spark, 20_000, hot_docs=1024, parallelism=8)
+    build_index(spark, tx, out, n_buckets=4, block_size=64, salt_target=4096,
+                n_groups=1, with_positions=False)
+    srv = LocalSearcher(out)
+    stats: dict = {}
+    got = srv.bm25_topk("hotterm", k=20, hydrate=False, prune=True,
+                        prune_stats=stats)
+    want = srv.bm25_topk("hotterm", k=20, hydrate=False)
+    assert [(g["doc_id"], round(g["score"], 10)) for g in got] == \
+           [(w["doc_id"], round(w["score"], 10)) for w in want]
+    assert stats["blocks_kept"] < stats["blocks_total"] / 2, stats
+    # the winners are the hot-prefix docs
+    assert all(g["doc_id"] < 1024 for g in got)
+
+
 # -- full points_search composition parity (round-3: the serving path must
 #    cover the WHOLE template surface, not just the bare BM25 core) ----------
 
