@@ -79,6 +79,21 @@ def main(argv: list[str] | None = None):
     ph.add_argument("--prefix", action="store_true",
                     help="last term matches by prefix (match_phrase_prefix)")
 
+    up = sub.add_parser("update", help="append a new segment (LSM ingest), "
+                                       "then compact + GC past thresholds")
+    up.add_argument("--input", required=True)
+    up.add_argument("--index", required=True)
+    up.add_argument("--max-segments", type=int, default=4)
+    up.add_argument("--gc-grace-sec", type=float, default=3600.0)
+
+    cp = sub.add_parser("compact", help="merge all live segments into one")
+    cp.add_argument("--index", required=True)
+    cp.add_argument("--resume", action="store_true")
+
+    gc = sub.add_parser("gc", help="delete non-live segment dirs past grace")
+    gc.add_argument("--index", required=True)
+    gc.add_argument("--grace-sec", type=float, default=3600.0)
+
     args = p.parse_args(argv)
     spark = _spark()
     if args.cmd == "build":
@@ -112,6 +127,22 @@ def main(argv: list[str] | None = None):
         fn = E.phrase_prefix_match if args.prefix else E.phrase_match
         for r in fn(spark, args.index, args.phrase).collect():
             print(json.dumps(r.asDict()))
+    elif args.cmd == "update":
+        from .indexing.build import incremental_update, maybe_compact
+        m = incremental_update(spark, args.index,
+                               spark.read.parquet(args.input))
+        c = maybe_compact(spark, args.index, max_segments=args.max_segments,
+                          gc_grace_sec=args.gc_grace_sec)
+        print(json.dumps({"update": m["segment"], "compact": c},
+                         default=str))
+    elif args.cmd == "compact":
+        from .indexing.build import compact_index
+        print(json.dumps(compact_index(spark, args.index,
+                                       resume=args.resume), default=str))
+    elif args.cmd == "gc":
+        from .indexing.build import gc_segments
+        print(json.dumps({"removed": gc_segments(
+            args.index, grace_sec=args.grace_sec)}))
 
 
 if __name__ == "__main__":

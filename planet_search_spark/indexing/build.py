@@ -427,7 +427,15 @@ def _term_dict_and_postings(spark: SparkSession, seg_dir: str,
            .withColumn("term_id",
                        F.row_number().over(w_tid).cast("long")
                        + F.col("bucket").cast("long") * F.lit(1 << 40))
+           .sortWithinPartitions("bucket", "field", "term")
            .write.mode("overwrite").partitionBy("bucket")
+           # small row groups: the serving reader's prefix/fuzzy expansion
+           # scans term_dict by term RANGE — with ~60k-row groups and
+           # (field, term)-sorted rows the parquet min/max stats prune the
+           # dictionary scan to a handful of row groups instead of decoding
+           # the whole vocabulary (measured 10 s/call at a 5M-term dict;
+           # 4 MiB balances prune granularity against write overhead)
+           .option("parquet.block.size", str(4 << 20))
            .parquet(term_dict_path))
         mark("stage_termdict.done")
     lap("term_dict")

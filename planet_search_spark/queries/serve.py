@@ -78,6 +78,13 @@ class LocalSearcher:
         # non-scoring filter bitsets (role/tool/kw_hash -> doc_id arrays),
         # the ES filter-cache analogue
         self._filter_cache: dict = {}
+        # NUMERIC doc values (the Lucene doc_values / column-stride-fields
+        # analogue): doc_id-sorted (prior, ts_epoch) arrays, 24 B/doc —
+        # function_score add-ons are gathered vectorized for ANY candidate
+        # set size. This is scoring state, not the stored-fields cache: a
+        # serving shard's numeric doc values fit RAM by sharding design
+        # (ES keeps exactly these columns hot for the same reason).
+        self._doc_values_cache = None
 
     # -- postings ------------------------------------------------------------
 
@@ -511,24 +518,17 @@ class LocalSearcher:
             bm = bm + 6.0 * np.isin(g_ids, contained)
 
         base = S.W_TEXT * bm / (bm + S.K_TEXT) + S.W_EXACT * is_exact
-        add_max = S.W_PRIOR + (S.W_REC if params.recency else 0.0)
-        k = params.k
-        if g_ids.size > k:
-            theta = np.partition(base, g_ids.size - k)[g_ids.size - k]
-            surv = np.flatnonzero(base + add_max >= theta - 1e-12)
-        else:
-            surv = np.arange(g_ids.size)
-        info = self._doc_info(g_ids[surv].tolist())
-        prior = np.array([info[int(d)]["prior"] for d in g_ids[surv]],
-                         dtype=np.float64)
-        score = base[surv] + S.W_PRIOR * prior
+        # function_score add-ons from the numeric doc values — one
+        # vectorized gather regardless of candidate-set size (the earlier
+        # survivor-bound point reads degenerated on flat-scored hot queries
+        # where prior/recency decide the ranking for ~every candidate)
+        dv_ids, dv_prior, dv_ts = self._doc_values()
+        ix = np.searchsorted(dv_ids, g_ids)
+        score = base + S.W_PRIOR * dv_prior[ix]
         if params.recency:
-            # floor() mirrors unix_timestamp()'s whole-second semantics
-            ts = np.floor(np.array(
-                [info[int(d)]["ts_epoch"] for d in g_ids[surv]]))
-            x = np.maximum(0.0, params.now_epoch - ts - S.REC_OFFSET)
+            x = np.maximum(0.0, params.now_epoch - dv_ts[ix] - S.REC_OFFSET)
             score = score + S.W_REC * np.exp(-0.5 * (x / S.REC_SCALE) ** 2)
-        ids, nm = g_ids[surv], nmatch[surv]
+        ids, nm, k = g_ids, nmatch, params.k
         kk = min(k, ids.size)
         if kk < ids.size:
             part = np.argpartition(-score, kk - 1)
@@ -540,6 +540,26 @@ class LocalSearcher:
         rows = [{"doc_id": int(ids[i]), "score": float(score[i]),
                  "nmatch": int(nm[i])} for i in order]
         return self._hydrate(rows)
+
+    # -- numeric doc values (scoring side) -----------------------------------
+
+    def _doc_values(self):
+        """doc_id-sorted (ids, prior, ts_epoch) numpy arrays, lazy."""
+        if self._doc_values_cache is None:
+            ids_p, pr_p, ts_p = [], [], []
+            for st in self._stores:
+                tbl = st.to_table(columns=["doc_id", "prior", "ts"])
+                unit = tbl.schema.field("ts").type.unit
+                div = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[unit]
+                ids_p.append(tbl.column("doc_id").to_numpy())
+                pr_p.append(tbl.column("prior").to_numpy())
+                ts_p.append((tbl.column("ts").cast(pa.int64()).to_numpy()
+                             // div).astype(np.float64))
+            ids = np.concatenate(ids_p)
+            o = np.argsort(ids)
+            self._doc_values_cache = (ids[o], np.concatenate(pr_p)[o],
+                                      np.concatenate(ts_p)[o])
+        return self._doc_values_cache
 
     # -- stored fields: bounded LRU + pyarrow point reads --------------------
 
@@ -620,36 +640,65 @@ class LocalSearcher:
 
     # -- dictionary expansion (prefix / fuzzy), identical to the engine ------
 
-    def _dict_terms(self, field_ids: tuple, filt) -> list[str]:
-        terms: set = set()
+    def _dict_arrays(self, field_ids: tuple, filt) -> "pa.ChunkedArray":
+        """Term column slices matching a dataset filter, as Arrow arrays
+        (never materialized to Python until after all vectorized prunes)."""
+        parts = []
         for td in self._term_dicts:
             f = ds.field("field").isin(list(field_ids))
             tbl = td.to_table(columns=["term"],
                               filter=f if filt is None else (f & filt))
-            terms.update(tbl.column("term").to_pylist())
-        return sorted(terms)
+            parts.append(tbl.column("term"))
+        return pa.chunked_array([c for p in parts for c in p.chunks]
+                                or [pa.array([], type=pa.string())])
 
     def expand_prefix(self, prefix: str,
                       field_ids: tuple = (0,)) -> list[str]:
         """Prefix expansion over the queried fields' vocabulary — same
-        ordering + MAX_EXPANSIONS cap as ``engine.expand_prefix`` (the
-        term range filter row-group-prunes the dictionary scan)."""
+        ordering + MAX_EXPANSIONS cap as ``engine.expand_prefix``. The term
+        RANGE filter row-group-prunes the dictionary scan (term_dict is
+        (field, term)-sorted with small row groups); results are cached."""
         from .engine import MAX_EXPANSIONS
+        key = ("pfx", prefix, field_ids)
+        hit = self._filter_cache.get(key)
+        if hit is not None:
+            return hit
         hi = prefix[:-1] + chr(ord(prefix[-1]) + 1) if prefix else "￿"
         filt = (ds.field("term") >= prefix) & (ds.field("term") < hi)
-        return self._dict_terms(field_ids, filt)[:MAX_EXPANSIONS]
+        terms = self._dict_arrays(field_ids, filt).to_pylist()
+        out = sorted(set(terms))[:MAX_EXPANSIONS]
+        self._filter_cache[key] = out
+        return out
 
     def expand_fuzzy(self, term: str, max_ed: int,
                      field_ids: tuple = (0,)) -> list[str]:
         """AUTO fuzzy expansion with the same sound blocking as the engine
-        (length band + pigeonhole segments, then banded Levenshtein)."""
+        (length band + pigeonhole segments, then banded Levenshtein). All
+        pre-Levenshtein pruning runs vectorized in Arrow compute — the
+        Python edit-distance only ever sees the blocked candidate set."""
+        import pyarrow.compute as pc
         from .engine import MAX_EXPANSIONS
         from . import fuzzy as FZ
         if max_ed == 0:
             return [term]
-        block = FZ.py_block(term, max_ed)
+        key = ("fz", term, max_ed, field_ids)
+        hit = self._filter_cache.get(key)
+        if hit is not None:
+            return hit
+        arr = self._dict_arrays(field_ids, None)
         n = len(term)
-        cands = [t for t in self._dict_terms(field_ids, None)
-                 if n - max_ed <= len(t) <= n + max_ed and block(t)
-                 and FZ.lev_leq(t, term, max_ed)]
-        return cands[:MAX_EXPANSIONS] or [term]
+        ln = pc.utf8_length(arr)
+        mask = pc.and_(pc.greater_equal(ln, n - max_ed),
+                       pc.less_equal(ln, n + max_ed))
+        segs = FZ.pigeonhole_segments(term, max_ed)
+        if len(segs) == max_ed + 1:
+            block = pc.starts_with(arr, pattern=segs[0])
+            block = pc.or_(block, pc.ends_with(arr, pattern=segs[-1]))
+            for s in segs[1:-1]:
+                block = pc.or_(block, pc.match_substring(arr, pattern=s))
+            mask = pc.and_(mask, block)
+        cands = sorted(set(pc.filter(arr, mask).to_pylist()))
+        out = [t for t in cands if FZ.lev_leq(t, term, max_ed)]
+        out = out[:MAX_EXPANSIONS] or [term]
+        self._filter_cache[key] = out
+        return out

@@ -25,9 +25,17 @@ TRANSCRIPT_SCHEMA = ("conv_id string, turn_idx int, role string, "
 
 def run_incremental(spark: SparkSession, input_dir: str, out_dir: str,
                     checkpoint_dir: str, *, available_now: bool = True,
-                    build_kw: dict | None = None):
+                    build_kw: dict | None = None,
+                    max_segments: int = 0, gc_grace_sec: float = 3600.0):
     """Stream transcript parquet files from ``input_dir`` into the index at
-    ``out_dir``. Returns the StreamingQuery (await/stop it yourself)."""
+    ``out_dir``. Returns the StreamingQuery (await/stop it yourself).
+
+    ``max_segments > 0`` enables in-stream tiered compaction: after an
+    append pushes the live segment count to the threshold, the micro-batch
+    also merges the segments and GC-sweeps retired inputs past the grace
+    period — continuous ingest keeps read amplification and disk bounded
+    without an external maintenance job.
+    """
     build_kw = dict(build_kw or {})
 
     def handle_batch(batch_df, epoch_id: int):
@@ -35,6 +43,11 @@ def run_incremental(spark: SparkSession, input_dir: str, out_dir: str,
             return
         incremental_update(spark, out_dir, batch_df,
                            **build_kw)
+        if max_segments > 0:
+            from ..indexing.build import maybe_compact
+            maybe_compact(spark, out_dir, max_segments=max_segments,
+                          gc_grace_sec=gc_grace_sec,
+                          n_groups=build_kw.get("n_groups", 1))
 
     reader = (spark.readStream.schema(TRANSCRIPT_SCHEMA)
               .option("maxFilesPerTrigger", 64)

@@ -9,5 +9,5 @@ python3 scripts/check_oracle.py /root/testdata/sf0.01 2>&1 \
 echo "=== pytest ==="
 python -m pytest tests/ -q 2>&1 | tail -2
 echo "=== bench (sf0.01 quick) ==="
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 SPARK_GRAFT_BENCH_SCALE=10 \
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 SPARK_GRAFT_BENCH_TURNS=20000 \
   python3 bench.py 2>&1 | grep -E '^\{'

@@ -104,6 +104,38 @@ def test_streaming_ingest(spark, corpora, tmp_path):
     assert len(res) == 10
 
 
+def test_streaming_ingest_with_inline_compaction(spark, corpora, tmp_path):
+    """max_segments>0: the stream itself triggers tiered compaction + GC,
+    keeping live segments bounded while every doc still lands exactly once."""
+    from planet_search_spark.streaming.incremental import run_incremental
+    a, b, c = corpora
+    in_dir = str(tmp_path / "in3")
+    os.makedirs(in_dir + "/stream", exist_ok=True)
+    import shutil
+    i = 0
+    for sub, df in [("b1", b), ("b2", c)]:
+        df.coalesce(1).write.mode("overwrite").parquet(f"{in_dir}/{sub}")
+        for fn in os.listdir(f"{in_dir}/{sub}"):
+            if fn.endswith(".parquet"):
+                shutil.copy(f"{in_dir}/{sub}/{fn}",
+                            f"{in_dir}/stream/f{i}.parquet")
+                i += 1
+    out = str(tmp_path / "scidx")
+    build_index(spark, a, out, **KW)
+    q = run_incremental(spark, in_dir + "/stream", out,
+                        str(tmp_path / "ckpt3"), build_kw=dict(KW),
+                        max_segments=2, gc_grace_sec=0.0)
+    q.awaitTermination(180)
+    with open(os.path.join(out, "live.json")) as f:
+        live = json.load(f)["segments"]
+    assert len(live) <= 2, live
+    from planet_search_spark.queries.logical import tokenized_docs
+    want = tokenized_docs(a.unionByName(b).unionByName(c)).count()
+    assert E.doc_store(spark, E.open_index(out)).count() == want
+    # on-disk dirs are bounded too (GC swept retired inputs)
+    assert set(os.listdir(os.path.join(out, "segments"))) == set(live)
+
+
 def test_compaction_identical_and_composable(spark, tmp_path):
     """compact_index merges all live segments into one whose answers are
     bit-identical to the multi-segment reader, atomically replaces the

@@ -206,10 +206,10 @@ def test_serve_fuzzy_blocking_matches_unblocked(index_dir):
     """The pigeonhole block filter must be lossless on the real vocabulary."""
     from planet_search_spark.queries import fuzzy as FZ
     srv = LocalSearcher(index_dir)
+    vocab = set(srv._dict_arrays((0,), None).to_pylist())
     for term in ["spak", "merg", "excutor", "timout", "kiten"]:
         ed = FZ.auto_fuzz(term)
         blocked = srv.expand_fuzzy(term, ed)
-        vocab = srv._dict_terms((0,), None)
         want = sorted(t for t in vocab if FZ.lev_leq(t, term, ed))[:200] \
             or [term]
         assert blocked == want, term
