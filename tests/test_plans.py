@@ -70,6 +70,28 @@ def test_exact_path_pushes_kw_hash_to_scan(spark, small_index):
     assert "kw_hash" in pushed
 
 
+def test_phrase_plan_is_jvm_only(spark, small_index):
+    """Round-3 guard: the positional phrase chain must compile to pure JVM
+    joins — no Python evaluation stage anywhere in the plan (round 2's
+    per-doc itertuples loop was the banned row-at-a-time pattern)."""
+    df = E.phrase_match(spark, small_index, "out of memory")
+    plan = _plan(df)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "FlatMapGroupsInPandas"):
+        assert marker not in plan, marker
+    assert "Join LeftSemi" in plan or "LeftSemi" in plan
+    # positions scan pushes term + field filters down
+    pushed = plan.split("PushedFilters", 1)[1][:300]
+    assert "term" in pushed
+
+
+def test_phrase_prefix_plan_is_jvm_only(spark, small_index):
+    df = E.phrase_prefix_match(spark, small_index, "out of mem")
+    plan = _plan(df)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, marker
+
+
 def test_dismax_multifield_plan_shape(spark, small_index):
     """Multi-field dis_max: field+term filters pushed to the scan; the only
     join in the scoring plan is the final k-row hydration."""
