@@ -557,6 +557,13 @@ def search(spark: SparkSession, out_dir: str, params) -> DataFrame:
     -> per-original-term dis_max over expansions (B15) -> OR/AND combine
     (B9/B10) -> function_score: saturation + static prior + exact bonus +
     recency decay (B19-B24) -> metadata filter (B17) -> top-k hydrated (B25).
+
+    No WAND pruning on this path BY DESIGN: under function_score the
+    per-doc add-ons (prior <= 0.3, recency <= 0.6, tiers) dominate the
+    saturated text-score spread, so block bounds cannot exclude candidates
+    — the same reason Lucene/ES disables dynamic top-k pruning when a
+    function_score/rescore wraps the match query; pruning applies to the
+    bare BM25 paths (``bm25_topk``, serve ``bm25_topk(prune=True)``).
     """
     from .params import SearchParams  # noqa: F401 (typing only)
     from .. import scoring as S2
