@@ -48,6 +48,7 @@ def main():
         "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir())
     out_dir = tempfile.mkdtemp(prefix="psearch_idx_", dir=tmp_root)
     clu_dir = tempfile.mkdtemp(prefix="psearch_clu_", dir=tmp_root)
+    imp_dir = tempfile.mkdtemp(prefix="psearch_imp_", dir=tmp_root)
     corpus_dir = tempfile.mkdtemp(prefix="psearch_corpus_", dir=tmp_root)
     try:
         # -- index build throughput (corpus materialized first: the build
@@ -96,6 +97,21 @@ def main():
             spark, out_dir, "the data").collect())
         timed("phrase_prefix_positional", lambda: E.phrase_prefix_match(
             spark, out_dir, "stream table ha").collect())
+
+        # -- impact-ordered layout: WAND prunes on the UNIFORM corpus too ---
+        # (blocks stratified by quantized impact level at build time; the
+        # stopword query's low-impact blocks never decode)
+        n_imp = max(200_000, n_turns // 2)
+        imp_corpus = spark.read.parquet(f"{corpus_dir}/tx.parquet") \
+            .limit(n_imp)
+        t0 = time.time()
+        build_index(spark, imp_corpus, imp_dir, n_buckets=32, n_groups=1,
+                    with_positions=False, impact_order=True)
+        timings["index_build_impact"] = round(time.time() - t0, 3)
+        timed("bm25_topk_wand_impact_stopword", lambda: E.bm25_topk(
+            spark, imp_dir, "the", k=20, prune=True).collect())
+        timed("bm25_topk_noprune_impact_stopword", lambda: E.bm25_topk(
+            spark, imp_dir, "the", k=20, prune=False).collect())
 
         # -- clustered corpus: where block-max WAND actually prunes ---------
         # (uniform corpora give doc-ordered blocks homogeneous bounds; real
@@ -184,6 +200,7 @@ def main():
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
         shutil.rmtree(clu_dir, ignore_errors=True)
+        shutil.rmtree(imp_dir, ignore_errors=True)
         shutil.rmtree(corpus_dir, ignore_errors=True)
         spark.stop()
 

@@ -41,6 +41,9 @@ def main(argv: list[str] | None = None):
     b.add_argument("--segment", default="seg_1")
     b.add_argument("--resume", action="store_true")
     b.add_argument("--no-positions", action="store_true")
+    b.add_argument("--impact", action="store_true",
+                   help="impact-ordered block layout (WAND prunes even on "
+                        "uniform corpora)")
 
     s = sub.add_parser("search", help="BM25 top-k over a built index")
     s.add_argument("--index", required=True)
@@ -100,7 +103,7 @@ def main(argv: list[str] | None = None):
         tx = spark.read.parquet(args.input)
         m = build_index(spark, tx, args.out, n_buckets=args.buckets,
                         n_groups=args.groups, resume=args.resume,
-                        segment=args.segment,
+                        segment=args.segment, impact_order=args.impact,
                         with_positions=not args.no_positions)
         print(json.dumps(m))
     elif args.cmd == "search":

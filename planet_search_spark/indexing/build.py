@@ -132,7 +132,8 @@ def assign_doc_ids(tx: DataFrame, num_partitions: int = 0) -> DataFrame:
     return out
 
 
-def _encode_stream_fn(field_stats: dict, block_size: int):
+def _encode_stream_fn(field_stats: dict, block_size: int,
+                      n_levels: int = 1):
     """mapInPandas over partitions pre-sorted by (field, term, salt, doc_id):
     encodes MANY (field, term, salt) groups per Arrow batch fully vectorized
     (codec.encode_blocks_multi) — no per-group pandas materialization, so a
@@ -141,6 +142,15 @@ def _encode_stream_fn(field_stats: dict, block_size: int):
     ``field_stats``: field_id -> (n_docs, avgdl) — BM25 block bounds are
     computed under each FIELD's own corpus statistics, exactly like
     per-field Lucene similarities.
+
+    ``n_levels > 1`` = IMPACT-ORDERED layout: rows arrive additionally
+    sorted by descending quantized impact level (``lvl``) within each
+    (term, salt) group, and blocks never span a level boundary — so block
+    bounds are heterogeneous BY CONSTRUCTION and block-max WAND prunes
+    low-impact blocks even on uniform corpora (the Lucene impact-sorted
+    postings idea). Doc ids stay ascending within a block (delta encode
+    intact); blocks of one term remain doc-disjoint, so the θ argument is
+    unchanged.
 
     Groups can span Arrow batches within a partition; the trailing group of
     each batch is carried into the next. The carry is bounded by
@@ -161,10 +171,13 @@ def _encode_stream_fn(field_stats: dict, block_size: int):
         tids = pdf["term_id"].to_numpy(np.int64)
         fields = pdf["field"].to_numpy(np.int64)
         salts = pdf["salt"].to_numpy(np.int64)
+        lvls = pdf["lvl"].to_numpy(np.int64)
         # term_id is unique per (field, term), so (term_id, salt) changes
-        # cover field changes too
+        # cover field changes too; a level change also starts a new block
+        # chain (impact layout: blocks never span levels)
         gs = np.ones(len(pdf), dtype=bool)
-        gs[1:] = (tids[1:] != tids[:-1]) | (salts[1:] != salts[:-1])
+        gs[1:] = ((tids[1:] != tids[:-1]) | (salts[1:] != salts[:-1])
+                  | (lvls[1:] != lvls[:-1]))
         blocks = codec.encode_blocks_multi(doc_ids, tfs, dls, gs, block_size)
         rs = blocks["row_start"]
         n, avgdl = n_arr[fields], avgdl_arr[fields]
@@ -174,7 +187,8 @@ def _encode_stream_fn(field_stats: dict, block_size: int):
             "bucket": pdf["bucket"].to_numpy(np.int32)[rs],
             "field": fields[rs].astype(np.int32),
             "term_id": tids[rs],
-            "block_id": salts[rs] * 1_000_000 + blocks["seq"],
+            "block_id": ((salts[rs] * n_levels + lvls[rs]) * 1_000_000
+                         + blocks["seq"]),
             "n_docs": blocks["n_docs"],
             "first_doc": blocks["first_doc"],
             "last_doc": blocks["last_doc"],
@@ -221,6 +235,7 @@ def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
                 segment: str = "seg_1", doc_base: int = 0,
                 append: bool = False,
                 broadcast_term_limit: int = 2_000_000,
+                impact_order: bool = False,
                 fail_after_group: int = -1) -> dict:
     """Build (or resume) one index segment; returns build metrics.
 
@@ -319,6 +334,7 @@ def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
                        "next_doc_base": doc_base + ids._total_rows,
                        "n_buckets": n_buckets, "block_size": block_size,
                        "salt_target": salt_target,
+                       "impact_order": impact_order,
                        "with_positions": with_positions}, f)
     lap("doc_store")
 
@@ -372,7 +388,8 @@ def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
         spark, seg_dir, field_stats, n_buckets=n_buckets,
         block_size=block_size, salt_target=salt_target, n_groups=n_groups,
         broadcast_term_limit=broadcast_term_limit, done=done, mark=mark,
-        lap=lap, fail_after_group=fail_after_group)
+        lap=lap, impact_order=impact_order,
+        fail_after_group=fail_after_group)
     groups = [sorted(range(n_buckets))[i::n_groups] for i in range(n_groups)]
     postings_path = os.path.join(seg_dir, "postings")
     term_df = spark.read.parquet(
@@ -389,6 +406,7 @@ def _term_dict_and_postings(spark: SparkSession, seg_dir: str,
                             block_size: int, salt_target: int,
                             n_groups: int, broadcast_term_limit: int,
                             done, mark, lap,
+                            impact_order: bool = False,
                             fail_after_group: int = -1) -> tuple:
     """Stages 4+5 (term dictionary + salted block encode) from the
     segment's ``tf_partial`` table — shared by :func:`build_index` and
@@ -451,16 +469,32 @@ def _term_dict_and_postings(spark: SparkSession, seg_dir: str,
     # -- stage 5: salted block encode, per bucket-group jobs ----------------
     groups = [sorted(range(n_buckets))[i::n_groups] for i in range(n_groups)]
     postings_path = os.path.join(seg_dir, "postings")
-    enc = _encode_stream_fn(field_stats, block_size)
+    n_levels = 8 if impact_order else 1
+    enc = _encode_stream_fn(field_stats, block_size, n_levels)
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     built_groups = 0
+    # impact level: the tf-normalization term quantized to 8 buckets under
+    # the field's own corpus stats (idf is constant per term, so ordering
+    # by tf-norm == ordering by score within a term)
+    if impact_order:
+        k1, b = S.K1, S.B
+        avgdl_col = F.create_map(
+            *[x for fid, (_nf, af) in field_stats.items()
+              for x in (F.lit(fid), F.lit(af))])[F.col("field")]
+        tfn = (F.col("tf") / (F.col("tf") + F.lit(k1)
+                              * (F.lit(1.0 - b)
+                                 + F.lit(b) * F.col("dl") / avgdl_col)))
+        lvl_col = F.least(F.lit(n_levels - 1),
+                          F.floor(tfn * n_levels)).cast("int")
+    else:
+        lvl_col = F.lit(0)
     for gi, buckets in enumerate(groups):
         if done(f"group_{gi}.done"):
             continue
         dim = term_df.where(F.col("bucket").isin(buckets)).drop("bucket")
         tf_g = tf_stored.where(F.col("bucket").isin(buckets))  # partition pruning
         lean_cols = ["bucket", "field", "term_id", "doc_id", "dl",
-                     "tf", "df", "salt"]
+                     "tf", "df", "salt", "lvl"]
         # dim join: broadcast under the vocab threshold, shuffle join past
         # it (planet-scale dictionaries must not be force-broadcast)
         dim_j = F.broadcast(dim) if broadcast_terms else dim
@@ -470,17 +504,22 @@ def _term_dict_and_postings(spark: SparkSession, seg_dir: str,
                     F.ceil(F.col("df") / F.lit(float(salt_target)))
                 ).cast("int"))
                 .withColumn("salt",
-                            (F.col("doc_id") % F.col("nsalt")).cast("int")))
+                            (F.col("doc_id") % F.col("nsalt")).cast("int"))
+                .withColumn("lvl", lvl_col))
         # the merge shuffle: co-locate each (term_id, salt) group — hot
         # terms salted so no task sees more than ~salt_target rows of one
         # term. The explicit select keeps the shuffle row ALL-INT (no term
         # string, no nsalt): fewer shuffle bytes, int64 sort keys instead
         # of string comparisons, and no Arrow string transfer into the
         # Python encoder (term strings re-attached on block rows below).
+        # Impact layout adds lvl DESC to the in-task sort: high-impact
+        # blocks first; doc_id stays ascending within a level.
         stream = (part.select(*lean_cols)
                   .repartition(max(n_shuffle // n_groups, len(buckets)),
                                "term_id", "salt")
-                  .sortWithinPartitions("term_id", "salt", "doc_id"))
+                  .sortWithinPartitions(F.col("term_id"), F.col("salt"),
+                                        F.col("lvl").desc(),
+                                        F.col("doc_id")))
         encoded = stream.mapInPandas(enc, schema=ENCODED_SCHEMA)
         # re-attach the term string on BLOCK rows (orders of magnitude fewer
         # than postings; ~vocab-sized for a long-tail dictionary)
@@ -612,6 +651,8 @@ def incremental_update(spark: SparkSession, out_dir: str, new_tx: DataFrame,
         build_kw.setdefault("with_positions", prev_cfg["with_positions"])
         if "salt_target" in prev_cfg:
             build_kw.setdefault("salt_target", prev_cfg["salt_target"])
+        build_kw.setdefault("impact_order",
+                            prev_cfg.get("impact_order", False))
     return build_index(spark, new_tx, out_dir,
                        segment=f"seg_{next_seg_id(out_dir)}",
                        doc_base=doc_base, append=True, **build_kw)
@@ -700,6 +741,7 @@ def compact_index(spark: SparkSession, out_dir: str, *,
     # inherit the inputs' salting layout (persisted since round 3); a
     # custom-salted index must not silently compact to the default layout
     salt_target = max(cs.get("salt_target", 1 << 16) for cs in stats)
+    impact_order = all(cs.get("impact_order", False) for cs in stats)
     with_positions = all(cs["with_positions"] for cs in stats)
     n_docs = sum(cs["n_docs"] for cs in stats)
     sum_dl = sum(cs["sum_dl"] for cs in stats)
@@ -772,13 +814,14 @@ def compact_index(spark: SparkSession, out_dir: str, *,
                        "next_doc_base": next_doc_base,
                        "n_buckets": n_buckets, "block_size": block_size,
                        "salt_target": salt_target,
+                       "impact_order": impact_order,
                        "with_positions": with_positions}, f)
 
     n_terms_total, built_groups = _term_dict_and_postings(
         spark, seg_dir, field_stats, n_buckets=n_buckets,
         block_size=block_size, salt_target=salt_target, n_groups=n_groups,
         broadcast_term_limit=broadcast_term_limit, done=done, mark=mark,
-        lap=lap)
+        lap=lap, impact_order=impact_order)
     groups = [sorted(range(n_buckets))[i::n_groups] for i in range(n_groups)]
     term_df = spark.read.parquet(
         os.path.join(seg_dir, "term_dict")).select("field", "df")

@@ -33,12 +33,15 @@ main job):
   equal across terms) fail the gate and skip the θ job entirely — pruning
   cannot win there, so the unpruned plan runs (this was a measured
   regression in round 1 when pruning was unconditional).
-* θ = max over terms t of θ_t, where θ_t scans t's blocks by descending
-  lower bound until cumulative n_docs ≥ k. Blocks of ONE term are
-  doc-disjoint (each doc appears once per posting list, and segments hold
-  disjoint doc ranges), so θ_t is a valid lower bound on the k-th best
-  score; blocks of DIFFERENT terms may share docs, which is why θ is a max
-  over per-term scans, never a cross-term cumulative scan.
+* θ = max over terms t of θ_t, where θ_t is the k-th largest REAL decoded
+  per-term score among the postings of t's best blocks (by descending
+  stored lower bound; the θ job ships those blocks' tf/dl payloads, still
+  bounded by the same row limit). Any k real docs' total scores are ≥
+  their t-contributions ≥ θ_t, so θ lower-bounds the true k-th best total.
+  Blocks of ONE term are doc-disjoint (each doc appears once per posting
+  list, and segments hold disjoint doc ranges); blocks of DIFFERENT terms
+  may share docs, which is why θ is a max over per-term values, never a
+  cross-term cumulative count.
 * a block (t, b) is pruned iff ``ub(t,b) + Σ_{t'≠t} mx(t') < θ`` — applied
   as a plain column FILTER on the block relation (per-term constants via a
   literal map), so multi-segment indexes need no (term, block_id) join and
@@ -293,6 +296,7 @@ def _wand_prune_blocks(blocks: DataFrame, stats: list, idx: IndexMeta,
         return blocks, {"gated": True, "theta": 0.0}
     mx = {_fkey(r["field"], r["term"]): float(r["max_score_ub"])
           for r in stats}
+    field_stats = idx.field_stats()
     df_map = _stats_df_map(stats)
     total, m = sum(mx.values()), max(mx.values())
     if not force and 2.0 * m <= total + 1e-12:
@@ -301,15 +305,33 @@ def _wand_prune_blocks(blocks: DataFrame, stats: list, idx: IndexMeta,
     df_col = _df_map_col(df_map)
     lb = S.bm25_term_score(F.col("min_tf"), df_col, F.col("max_dl"),
                            n_col, avgdl_col)
-    top = (blocks.select("field", "term", "n_docs", lb.alias("lb"))
+    # the θ job also ships the top blocks' (tf, dl) payloads (~300 B/block,
+    # bounded by the same limit): θ_t then comes from REAL decoded scores —
+    # the k-th largest true per-term contribution among the best-lb blocks'
+    # postings — which is far tighter than the (min_tf, max_dl) pairing
+    # bound (that pairing can undercut every actual doc in the block, which
+    # left impact-stratified blocks nearly unpruned). Validity: those k
+    # docs' TOTAL scores are >= their t-contributions >= θ_t, so θ = max_t
+    # θ_t still lower-bounds the true k-th best total score.
+    top = (blocks.select("field", "term", "n_docs", "tfs_bin", "dls_bin",
+                         lb.alias("lb"))
            .orderBy(F.desc("lb")).limit(max(64, 4 * k)).toPandas())
     theta = 0.0
     top["fkey"] = top["field"].astype(str) + ":" + top["term"]
-    for _t, g in top.groupby("fkey", sort=False):
-        cum = g["n_docs"].cumsum()          # descending-lb prefix per term
-        hit = g["lb"][cum >= k]
-        if len(hit):
-            theta = max(theta, float(hit.iloc[0]))
+    for fk, g in top.groupby("fkey", sort=False):
+        cum = g["n_docs"].cumsum()
+        take = int(np.searchsorted(cum.to_numpy(), k) + 1)
+        sel = g.iloc[:take]
+        if int(sel["n_docs"].sum()) < k:
+            continue          # term has < k postings in the collected top
+        tfs = codec.varbyte_decode(b"".join(sel["tfs_bin"])).astype(float)
+        dls = codec.varbyte_decode(b"".join(sel["dls_bin"])).astype(float)
+        fid = int(sel["field"].iloc[0])
+        n_f, avgdl_f = field_stats[fid]
+        dfv = df_map[fk]
+        idf = math.log(1.0 + (n_f - dfv + 0.5) / (dfv + 0.5))
+        s = idf * tfs / (tfs + S.K1 * (1 - S.B + S.B * dls / avgdl_f))
+        theta = max(theta, float(np.partition(s, s.size - k)[s.size - k]))
     if theta <= 0.0:
         return blocks, {"gated": False, "theta": 0.0}
     other_col = F.create_map(

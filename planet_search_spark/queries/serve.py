@@ -211,12 +211,25 @@ class LocalSearcher:
         mx = {t: float(v[2].max()) for t, v in per_term.items()}
         total = sum(mx.values())
         theta = 0.0
+        # θ_t from REAL decoded scores of the best-lb blocks (same
+        # tightening as the engine: the (min_tf, max_dl) pairing bound can
+        # undercut every actual posting in a block)
         for t, (a, df, ubs, lbs) in per_term.items():
             order = np.argsort(-lbs)
-            cum = np.cumsum(np.asarray(a["n"], dtype=np.int64)[order])
-            hit = np.flatnonzero(cum >= k)
-            if hit.size:
-                theta = max(theta, float(lbs[order[hit[0]]]))
+            n_docs_t = np.asarray(a["n"], dtype=np.int64)[order]
+            cum = np.cumsum(n_docs_t)
+            take = int(np.searchsorted(cum, k) + 1)
+            sel = order[:take]
+            if int(n_docs_t[:take].sum()) < k:
+                continue
+            tfs = codec.varbyte_decode(
+                b"".join(a["t"][i] for i in sel)).astype(np.float64)
+            dls = codec.varbyte_decode(
+                b"".join(a["l"][i] for i in sel)).astype(np.float64)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            s = idf * tfn(tfs, dls)
+            theta = max(theta,
+                        float(np.partition(s, s.size - k)[s.size - k]))
         out, blocks_total, blocks_kept = {}, 0, 0
         for t, (a, df, ubs, lbs) in per_term.items():
             other = total - mx[t]

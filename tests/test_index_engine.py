@@ -321,3 +321,77 @@ def test_metrics_and_lineage_written(index_dir):
     assert m.skew_ratio.iloc[0] >= 1.0
     lin = pd.read_parquet(os.path.join(seg, "lineage.parquet"))
     assert len(lin) == 3
+
+
+# -- impact-ordered block layout (round 3): WAND prunes on UNIFORM corpora ---
+
+@pytest.fixture(scope="module")
+def impact_index_dir(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("impidx"))
+    m = build_index(spark, corpus, out, n_buckets=8, block_size=16,
+                    salt_target=64, n_groups=1, impact_order=True)
+    assert m["n_docs"] > 0
+    return out
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_impact_layout_rank_identical(spark, index_dir, impact_index_dir,
+                                      query):
+    """Impact ordering is a physical layout choice only: pruned results on
+    the impact index == unpruned results on the doc-ordered index."""
+    want = [(r.doc_id, round(r.score, 9)) for r in
+            E.bm25_topk(spark, index_dir, query, k=15, prune=False,
+                        hydrate=False).collect()]
+    got = [(r.doc_id, round(r.score, 9)) for r in
+           E.bm25_topk(spark, impact_index_dir, query, k=15, prune=True,
+                       hydrate=False).collect()]
+    assert got == want, query
+
+
+def test_impact_layout_prunes_on_uniform_corpus(spark, index_dir,
+                                                impact_index_dir):
+    """The point of the layout: on the SAME uniform corpus where the
+    doc-ordered index cannot prune a stopword query (homogeneous block
+    bounds), the impact-ordered index drops blocks."""
+    st_imp: dict = {}
+    E.bm25_topk(spark, impact_index_dir, "the", k=5, prune=True,
+                hydrate=False, prune_stats=st_imp).collect()
+    assert st_imp["blocks_kept"] < st_imp["blocks_total"], st_imp
+    st_doc: dict = {}
+    E.bm25_topk(spark, index_dir, "the", k=5, prune=True,
+                hydrate=False, prune_stats=st_doc).collect()
+    # strictly better pruning than the doc-ordered layout on this corpus
+    assert (st_imp["blocks_kept"] / st_imp["blocks_total"]
+            < st_doc["blocks_kept"] / st_doc["blocks_total"])
+
+
+def test_impact_layout_serve_parity_and_phrase(spark, impact_index_dir):
+    """The serving reader and the phrase path are layout-agnostic."""
+    from planet_search_spark.queries.serve import LocalSearcher
+    srv = LocalSearcher(impact_index_dir)
+    for prune in (False, True):
+        got = srv.bm25_topk("error timeout retry", k=10, hydrate=False,
+                            prune=prune)
+        want = [r.asDict() for r in
+                E.bm25_topk(spark, impact_index_dir, "error timeout retry",
+                            k=10, prune=False, hydrate=False).collect()]
+        assert [(g["doc_id"], round(g["score"], 9)) for g in got] == \
+               [(w["doc_id"], round(w["score"], 9)) for w in want]
+    assert E.phrase_match(spark, impact_index_dir,
+                          "out of memory").count() > 0
+
+
+def test_impact_layout_inherited_by_incremental(spark, tmp_path):
+    import json as _json
+    from planet_search_spark.indexing.build import incremental_update
+    out = str(tmp_path / "impinc")
+    a = synthesize_transcripts(spark, n_convs=8, seed=91)
+    b = synthesize_transcripts(spark, n_convs=4, seed=92) \
+        .selectExpr("concat('b_', conv_id) AS conv_id", "turn_idx", "role",
+                    "text", "tool", "ts")
+    build_index(spark, a, out, n_buckets=4, block_size=16, n_groups=1,
+                impact_order=True)
+    incremental_update(spark, out, b, n_groups=1)
+    with open(os.path.join(out, "segments", "seg_2",
+                           "corpus_stats.json")) as f:
+        assert _json.load(f)["impact_order"] is True
