@@ -212,6 +212,50 @@ def build_cases() -> list[dict]:
         multifield=True)
     add("COMBO3-07", "kiten sittng", fuzzy=True, recency=True,
         filterRole="user")
+
+    # ---- round-3 growth past the reference's 337 (315+18+4) -------------
+    # 24. exact keyword path x dimensions (the kw_hash row-group-pruned
+    #     plan under filters; misses must return empty, not error)
+    add("EXACT-FILT-00", "error", exact=True, filterRole="user")
+    add("EXACT-FILT-01", "out of memory", exact=True, filterTool="search")
+    add("EXACT-REC-00", "connection reset by peer", exact=True, recency=True)
+    add("EXACT-MISS-00", "error timeout retry zzz", exact=True)
+    add("EXACT-MISS-01", "ZZZNOTATERM", exact=True)
+    add("EXACT-CASE-00", "ERROR", exact=True)  # keyword normalizer fold
+    # 25. four-dimension combos
+    add("COMBO4-00", "error pre", prefix=True, multifield=True,
+        recency=True, filterRole="user")
+    add("COMBO4-01", "spak", fuzzy=True, multifield=True, recency=True,
+        filterTool="code")
+    add("COMBO4-02", "out of memory", phraseTiers=True, multifield=True,
+        recency=True, filterRole="assistant")
+    add("COMBO4-03", "errr timout", fuzzy=True, operator="and",
+        recency=True, filterRole="tool")
+    add("COMBO4-04", "data shu", prefix=True, operator="and",
+        multifield=True, recency=True)
+    add("COMBO4-05", "stack trace follows", phraseTiers=True, recency=True,
+        filterRole="system", multifield=True)
+    # 26. k sweeps through the expansion paths (θ/heap behavior when the
+    #     candidate set comes from prefix/fuzzy expansion, incl. deep k)
+    for i, k in enumerate([1, 5, 100]):
+        add(f"KSWEEP-PREFIX-{i:02d}", "pre", prefix=True, k=k)
+        add(f"KSWEEP-FUZZY-{i:02d}", "spak", fuzzy=True, k=k)
+    # 27. wide disjunctions / conjunctions (4-6 terms: heap + gate stress)
+    add("ORWIDE-00", "error timeout retry spark data", operator="or")
+    add("ORWIDE-01", " ".join(MID[:6]), operator="or")
+    add("ORWIDE-02", "the error timeout retry spark data", operator="or")
+    add("ANDWIDE-00", "error timeout retry", operator="and")
+    add("ANDWIDE-01", " ".join([MID[0], MID[5], MID[9]]), operator="and")
+    # 28. exotic x multifield / filters (analyzer under the meta field)
+    add("EXOTIC-MF-00", "café Müller", multifield=True)
+    add("EXOTIC-MF-01", "привет", multifield=True)
+    add("EXOTIC-FILT-00", "naïve STRASSE", filterRole="user")
+    add("EXOTIC-FILT-01", "שָׁלוֹם", filterTool="search")
+    # 29. whitespace / degenerate analyzer inputs (must not error)
+    add("DEGEN-00", "  error   timeout  ", operator="or")
+    add("DEGEN-01", "error, timeout; retry.", operator="or")
+    add("DEGEN-02", "123 456", operator="or")
+    add("DEGEN-03", "a", operator="or")
     return c
 
 
@@ -267,6 +311,13 @@ def add_trio_cases(cases: list[dict], bf: BruteForceIndex) -> None:
         ("assistant code", {"multifield": True}),
         ("stack trace follows", {"phraseTiers": True}),
         ("lineage metric", {}), ("salting skew", {}),
+        # round-3 growth: trio coverage over the remaining dimensions
+        ("connection reset by peer", {"phraseTiers": True}),
+        ("score query", {"recency": True}),
+        ("tok", {"prefix": True, "multifield": True}),
+        ("shufle", {"fuzzy": True, "recency": True}),
+        ("heap score", {"operator": "and"}),
+        ("user search", {"multifield": True, "recency": True}),
     ]
     for i, (q, kw) in enumerate(trio_qs):
         rows = top(q, **kw)
