@@ -34,7 +34,13 @@ def main(argv: list[str] | None = None):
 
     b = sub.add_parser("build", help="build an index segment")
     b.add_argument("--input", required=True,
-                   help="parquet path of transcripts(conv_id,turn_idx,role,text,tool,ts)")
+                   help="transcripts source: parquet path OR catalog table "
+                        "identifier (Iceberg) of "
+                        "transcripts(conv_id,turn_idx,role,text,tool,ts)")
+    b.add_argument("--format", default="auto",
+                   choices=["auto", "parquet", "table", "iceberg"])
+    b.add_argument("--snapshot-id", type=int, default=None,
+                   help="Iceberg snapshot to index (reproducible builds)")
     b.add_argument("--out", required=True)
     b.add_argument("--buckets", type=int, default=32)
     b.add_argument("--groups", type=int, default=4)
@@ -100,7 +106,9 @@ def main(argv: list[str] | None = None):
     args = p.parse_args(argv)
     spark = _spark()
     if args.cmd == "build":
-        tx = spark.read.parquet(args.input)
+        from .sources import read_transcripts
+        tx = read_transcripts(spark, args.input, format=args.format,
+                              snapshot_id=args.snapshot_id)
         m = build_index(spark, tx, args.out, n_buckets=args.buckets,
                         n_groups=args.groups, resume=args.resume,
                         segment=args.segment, impact_order=args.impact,
@@ -132,8 +140,9 @@ def main(argv: list[str] | None = None):
             print(json.dumps(r.asDict()))
     elif args.cmd == "update":
         from .indexing.build import incremental_update, maybe_compact
+        from .sources import read_transcripts
         m = incremental_update(spark, args.index,
-                               spark.read.parquet(args.input))
+                               read_transcripts(spark, args.input))
         c = maybe_compact(spark, args.index, max_segments=args.max_segments,
                           gc_grace_sec=args.gc_grace_sec)
         print(json.dumps({"update": m["segment"], "compact": c},
