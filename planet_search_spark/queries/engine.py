@@ -305,33 +305,55 @@ def _wand_prune_blocks(blocks: DataFrame, stats: list, idx: IndexMeta,
     df_col = _df_map_col(df_map)
     lb = S.bm25_term_score(F.col("min_tf"), df_col, F.col("max_dl"),
                            n_col, avgdl_col)
-    # the θ job also ships the top blocks' (tf, dl) payloads (~300 B/block,
-    # bounded by the same limit): θ_t then comes from REAL decoded scores —
-    # the k-th largest true per-term contribution among the best-lb blocks'
-    # postings — which is far tighter than the (min_tf, max_dl) pairing
-    # bound (that pairing can undercut every actual doc in the block, which
-    # left impact-stratified blocks nearly unpruned). Validity: those k
-    # docs' TOTAL scores are >= their t-contributions >= θ_t, so θ = max_t
-    # θ_t still lower-bounds the true k-th best total score.
-    top = (blocks.select("field", "term", "n_docs", "tfs_bin", "dls_bin",
+    # TWO-PHASE θ. Phase 1: metadata-only TakeOrderedAndProject (exactly
+    # the round-2 job — no binary columns ride the heap shuffle; shipping
+    # every candidate block's tf/dl payload through the sort was a measured
+    # +0.5 s on a 3-term query). Phase 2: fetch (tf, dl) payloads for ONLY
+    # the ≤ max(64, 4k) winning blocks (term + block_id pushdown) and take
+    # θ_t as the k-th largest REAL decoded per-term score among them — far
+    # tighter than the (min_tf, max_dl) pairing bound, which can undercut
+    # every actual posting in a block (that left impact-stratified blocks
+    # nearly unpruned). Validity: those k docs' TOTAL scores are >= their
+    # t-contributions >= θ_t, so θ = max_t θ_t still lower-bounds the true
+    # k-th best total score. Driver state stays bounded in both phases.
+    top = (blocks.select("field", "term", "n_docs", "block_id",
                          lb.alias("lb"))
            .orderBy(F.desc("lb")).limit(max(64, 4 * k)).toPandas())
     theta = 0.0
     top["fkey"] = top["field"].astype(str) + ":" + top["term"]
+    need = []
     for fk, g in top.groupby("fkey", sort=False):
         cum = g["n_docs"].cumsum()
         take = int(np.searchsorted(cum.to_numpy(), k) + 1)
         sel = g.iloc[:take]
         if int(sel["n_docs"].sum()) < k:
             continue          # term has < k postings in the collected top
-        tfs = codec.varbyte_decode(b"".join(sel["tfs_bin"])).astype(float)
-        dls = codec.varbyte_decode(b"".join(sel["dls_bin"])).astype(float)
-        fid = int(sel["field"].iloc[0])
-        n_f, avgdl_f = field_stats[fid]
-        dfv = df_map[fk]
-        idf = math.log(1.0 + (n_f - dfv + 0.5) / (dfv + 0.5))
-        s = idf * tfs / (tfs + S.K1 * (1 - S.B + S.B * dls / avgdl_f))
-        theta = max(theta, float(np.partition(s, s.size - k)[s.size - k]))
+        need.append(sel)
+    if need:
+        import pandas as pd
+        want = pd.concat(need)
+        keys = set(zip(want["field"], want["term"], want["block_id"]))
+        pay = (blocks.where(
+                   F.col("term").isin(sorted(set(want["term"])))
+                   & F.col("block_id").isin(
+                       sorted({int(b) for b in want["block_id"]})))
+               .select("field", "term", "block_id", "tfs_bin", "dls_bin")
+               .toPandas())
+        pay = pay[[(f, t, b) in keys for f, t, b in
+                   zip(pay["field"], pay["term"], pay["block_id"])]]
+        pay["fkey"] = pay["field"].astype(str) + ":" + pay["term"]
+        for fk, g in pay.groupby("fkey", sort=False):
+            tfs = codec.varbyte_decode(b"".join(g["tfs_bin"])).astype(float)
+            dls = codec.varbyte_decode(b"".join(g["dls_bin"])).astype(float)
+            if tfs.size < k:
+                continue
+            fid = int(g["field"].iloc[0])
+            n_f, avgdl_f = field_stats[fid]
+            dfv = df_map[fk]
+            idf = math.log(1.0 + (n_f - dfv + 0.5) / (dfv + 0.5))
+            s = idf * tfs / (tfs + S.K1 * (1 - S.B + S.B * dls / avgdl_f))
+            theta = max(theta,
+                        float(np.partition(s, s.size - k)[s.size - k]))
     if theta <= 0.0:
         return blocks, {"gated": False, "theta": 0.0}
     other_col = F.create_map(

@@ -31,6 +31,18 @@ from ..indexing import codec
 from ..indexing.build import bucket_of
 
 
+def _in_sorted(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
+    """Membership mask of ``values`` in ascending ``sorted_arr`` by binary
+    search — O(n log m) with no allocation-heavy merge, vs ``np.isin``'s
+    concat-and-sort of BOTH arrays (measurable on the multi-million-key
+    position sets of stopword phrases)."""
+    if sorted_arr.size == 0:
+        return np.zeros(values.shape, dtype=bool)
+    ix = np.searchsorted(sorted_arr, values)
+    ix[ix == sorted_arr.size] = 0
+    return sorted_arr[ix] == values
+
+
 class LocalSearcher:
     """Stateless low-latency reader for one index directory (all segments)."""
 
@@ -85,6 +97,8 @@ class LocalSearcher:
         # serving shard's numeric doc values fit RAM by sharding design
         # (ES keeps exactly these columns hot for the same reason).
         self._doc_values_cache = None
+        self._dv_dense = False
+        self._phrase_cache: "OrderedDict[tuple, np.ndarray]" = OrderedDict()
 
     # -- postings ------------------------------------------------------------
 
@@ -129,13 +143,30 @@ class LocalSearcher:
                 a["t"].append(tb)
                 a["l"].append(lb)
         out = dict(cached)
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64),
+                 np.empty(0, dtype=np.int64))
         for t, a in acc.items():
             if not a["n"]:
+                # NEGATIVE cache: a term with no postings in this field
+                # (common for text-vocab terms against the meta field) must
+                # not re-scan parquet on every warm query
+                if len(self._term_cache) < self._term_cache_cap:
+                    self._term_cache[(field_id, t)] = empty
                 continue
             n_docs = np.asarray(a["n"], dtype=np.int64)
             ids = codec.decode_positions(b"".join(a["d"]), n_docs)
-            out[t] = (ids, codec.varbyte_decode(b"".join(a["t"])),
-                      codec.varbyte_decode(b"".join(a["l"])))
+            tfs = codec.varbyte_decode(b"".join(a["t"]))
+            dls = codec.varbyte_decode(b"".join(a["l"]))
+            # normalize to doc-ascending order (an INVARIANT downstream
+            # consumers exploit: ids are sorted AND unique, since blocks of
+            # one term are doc-disjoint). Doc-ordered layouts arrive sorted
+            # already (cheap O(n) check); impact-ordered layouts interleave
+            # levels and pay one argsort at first access, amortized by the
+            # term cache.
+            if ids.size > 1 and not bool(np.all(ids[1:] > ids[:-1])):
+                o = np.argsort(ids, kind="stable")
+                ids, tfs, dls = ids[o], tfs[o], dls[o]
+            out[t] = (ids, tfs, dls)
             if len(self._term_cache) < self._term_cache_cap:
                 self._term_cache[(field_id, t)] = out[t]
         return out
@@ -392,9 +423,14 @@ class LocalSearcher:
             poss = tbl.column("pos").to_numpy().astype(np.int64)
             assert poss.size == 0 or int(poss.max()) < self._POS_SHIFT - 64
             keys = docs * self._POS_SHIFT + poss
-            terms_arr = np.asarray(tbl.column("term").to_pylist(), dtype=object)
+            # per-term masks in Arrow compute — never materialize millions
+            # of Python string objects for the term column
+            import pyarrow.compute as pc
+            tcol = tbl.column("term")
             for t in uniq:
-                parts[t].append(keys[terms_arr == t])
+                m = pc.equal(tcol, t).combine_chunks() \
+                    .to_numpy(zero_copy_only=False)
+                parts[t].append(keys[m])
         for t, p in parts.items():
             out[t] = (np.sort(np.concatenate(p)) if p
                       else np.empty(0, dtype=np.int64))
@@ -412,13 +448,24 @@ class LocalSearcher:
         terms = A.py_tokens(phrase)
         if not terms:
             return []
-        keys = self._pos_keys(terms)
-        cand = keys[terms[0]]
-        for i, t in enumerate(terms[1:], start=1):
-            if cand.size == 0:
-                break
-            cand = cand[np.isin(cand + i, keys[t], assume_unique=False)]
-        doc_ids = np.unique(cand // self._POS_SHIFT)
+        # result LRU (the ES query-cache analogue): a phrase's doc set is a
+        # pure function of the immutable segment snapshot this searcher
+        # holds, and tiers queries re-verify the same phrase every call
+        ck = tuple(terms)
+        doc_ids = self._phrase_cache.get(ck)
+        if doc_ids is None:
+            keys = self._pos_keys(terms)
+            cand = keys[terms[0]]
+            for i, t in enumerate(terms[1:], start=1):
+                if cand.size == 0:
+                    break
+                cand = cand[_in_sorted(cand + i, keys[t])]
+            doc_ids = np.unique(cand // self._POS_SHIFT)
+            self._phrase_cache[ck] = doc_ids
+            while len(self._phrase_cache) > 256:
+                self._phrase_cache.popitem(last=False)
+        else:
+            self._phrase_cache.move_to_end(ck)
         out = [{"doc_id": int(d)} for d in doc_ids]
         return self._hydrate(out) if hydrate else out
 
@@ -454,7 +501,7 @@ class LocalSearcher:
             ids = tbl.column("doc_id").to_numpy().astype(np.int64)
             prior = tbl.column("prior").to_numpy().astype(np.float64)
             if allowed is not None:
-                m = np.isin(ids, allowed)
+                m = _in_sorted(ids, allowed)
                 ids, prior = ids[m], prior[m]
             order = np.lexsort((ids, -prior))[:params.k]
             rows = [{"doc_id": int(ids[i]), "score": 12.0} for i in order]
@@ -494,10 +541,18 @@ class LocalSearcher:
                         float(ids.size), n_f, avgdl_f)))
                 if not arrs:
                     continue
-                uniq = np.unique(np.concatenate([a[0] for a in arrs]))
-                smax = np.zeros(uniq.size)
-                for ids, s in arrs:
-                    np.maximum.at(smax, np.searchsorted(uniq, ids), s)
+                if len(arrs) == 1:
+                    # no-expansion fast path: posting ids are sorted-unique
+                    # by the _postings_arrays invariant, so the dis_max
+                    # over one list is the list itself — skips the
+                    # unique-merge + searchsorted scatter that dominated
+                    # the hot-query profile
+                    uniq, smax = arrs[0]
+                else:
+                    uniq = np.unique(np.concatenate([a[0] for a in arrs]))
+                    smax = np.zeros(uniq.size)
+                    for ids, s in arrs:
+                        np.maximum.at(smax, np.searchsorted(uniq, ids), s)
                 per_fo.append((fid, o, uniq, smax))
         if not per_fo:
             return []
@@ -515,20 +570,20 @@ class LocalSearcher:
         if params.operator == "and":
             mask &= nmatch == len(set(q_terms))
         if allowed is not None:
-            mask &= np.isin(g_ids, allowed)
+            mask &= _in_sorted(g_ids, allowed)
         g_ids, bm, nmatch = g_ids[mask], bm[mask], nmatch[mask]
         if g_ids.size == 0:
             return []
 
         exact_ids = self._kw_ids(q_kw_hash)
-        is_exact = np.isin(g_ids, exact_ids)
+        is_exact = _in_sorted(g_ids, exact_ids)
         if params.phrase_tiers:
             # constant_score tiers inside the bool score, pre-saturation
             bm = bm + 12.0 * is_exact
             contained = np.fromiter(
                 (r["doc_id"] for r in self.phrase_match(params.query)),
                 dtype=np.int64)
-            bm = bm + 6.0 * np.isin(g_ids, contained)
+            bm = bm + 6.0 * _in_sorted(g_ids, contained)
 
         base = S.W_TEXT * bm / (bm + S.K_TEXT) + S.W_EXACT * is_exact
         # function_score add-ons from the numeric doc values — one
@@ -536,7 +591,13 @@ class LocalSearcher:
         # survivor-bound point reads degenerated on flat-scored hot queries
         # where prior/recency decide the ranking for ~every candidate)
         dv_ids, dv_prior, dv_ts = self._doc_values()
-        ix = np.searchsorted(dv_ids, g_ids)
+        if self._dv_dense:
+            # doc ids are globally dense (stable dense assignment + doc_base
+            # offsets), so the gather is direct indexing — no binary search
+            # over the full doc-values array per query
+            ix = g_ids - dv_ids[0]
+        else:
+            ix = np.searchsorted(dv_ids, g_ids)
         score = base + S.W_PRIOR * dv_prior[ix]
         if params.recency:
             x = np.maximum(0.0, params.now_epoch - dv_ts[ix] - S.REC_OFFSET)
@@ -570,8 +631,11 @@ class LocalSearcher:
                              // div).astype(np.float64))
             ids = np.concatenate(ids_p)
             o = np.argsort(ids)
-            self._doc_values_cache = (ids[o], np.concatenate(pr_p)[o],
+            ids = ids[o]
+            self._doc_values_cache = (ids, np.concatenate(pr_p)[o],
                                       np.concatenate(ts_p)[o])
+            self._dv_dense = bool(
+                ids.size > 0 and int(ids[-1]) - int(ids[0]) == ids.size - 1)
         return self._doc_values_cache
 
     # -- stored fields: bounded LRU + pyarrow point reads --------------------
