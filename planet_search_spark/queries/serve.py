@@ -469,6 +469,47 @@ class LocalSearcher:
         out = [{"doc_id": int(d)} for d in doc_ids]
         return self._hydrate(out) if hydrate else out
 
+    def phrase_prefix_match(self, phrase: str, *, hydrate: bool = False):
+        """Positional ``match_phrase_prefix`` (B13) — exact parity with
+        ``engine.phrase_prefix_match``: the first n-1 terms chain
+        positionally, the LAST term matches ANY dictionary expansion of the
+        prefix (same MAX_EXPANSIONS cap and ordering) at position
+        p + n - 1. The expansions' key sets are merged once (sorted
+        concat), so the final step is a single binary-search membership —
+        not one chain per expansion."""
+        terms = A.py_tokens(phrase)
+        if not terms:
+            return []
+        *exact, prefix = terms
+        expansions = self.expand_prefix(prefix)
+        if not expansions:
+            return []
+        ck = ("pp",) + tuple(terms)
+        doc_ids = self._phrase_cache.get(ck)
+        if doc_ids is None:
+            keys = self._pos_keys(list(dict.fromkeys(exact)) + expansions)
+            last = np.sort(np.concatenate(
+                [keys[e] for e in expansions])) if expansions \
+                else np.empty(0, dtype=np.int64)
+            if not exact:     # single-term: any expansion occurrence
+                doc_ids = np.unique(last // self._POS_SHIFT)
+            else:
+                cand = keys[exact[0]]
+                for i, t in enumerate(exact[1:], start=1):
+                    if cand.size == 0:
+                        break
+                    cand = cand[_in_sorted(cand + i, keys[t])]
+                if cand.size:
+                    cand = cand[_in_sorted(cand + (len(terms) - 1), last)]
+                doc_ids = np.unique(cand // self._POS_SHIFT)
+            self._phrase_cache[ck] = doc_ids
+            while len(self._phrase_cache) > 256:
+                self._phrase_cache.popitem(last=False)
+        else:
+            self._phrase_cache.move_to_end(ck)
+        out = [{"doc_id": int(d)} for d in doc_ids]
+        return self._hydrate(out) if hydrate else out
+
     # -- the full points_search composition (round-2 VERDICT item 1) ---------
 
     def search(self, params):

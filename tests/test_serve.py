@@ -86,6 +86,18 @@ def test_serve_phrase_matches_engine(spark, index_dir, phrase):
     assert got == want, phrase
 
 
+@pytest.mark.parametrize("phrase", ["out of me", "null pointer exc",
+                                    "the da", "pre", "stack trace fo"])
+def test_serve_phrase_prefix_matches_engine(spark, index_dir, phrase):
+    srv = LocalSearcher(index_dir)
+    got = [r["doc_id"] for r in srv.phrase_prefix_match(phrase)]
+    want = sorted(r.doc_id for r in
+                  E.phrase_prefix_match(spark, index_dir, phrase).collect())
+    assert got == want, phrase
+    # warm cache path returns the identical set
+    assert [r["doc_id"] for r in srv.phrase_prefix_match(phrase)] == got
+
+
 @pytest.mark.parametrize("query", ["error timeout retry", "the data",
                                    "spark", "the", "kitten sitting"])
 def test_serve_wand_matches_unpruned(index_dir, query):
