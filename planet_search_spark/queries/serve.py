@@ -46,14 +46,27 @@ def _in_sorted(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
 class LocalSearcher:
     """Stateless low-latency reader for one index directory (all segments)."""
 
-    def __init__(self, out_dir: str):
+    def __init__(self, out_dir: str, *, segments: list[str] | None = None):
+        """``segments``: load only this subset of live segments (a DOC
+        shard — segments hold disjoint doc-id ranges). Corpus statistics
+        are ALWAYS computed over every live segment, so a shard scores
+        with the global BM25 stats and per-shard top-k heaps merge into
+        exactly the unsharded ranking (the ES shard model, where df/N are
+        coordinated globally in effect via large uniform shards; here they
+        are globally exact)."""
         with open(os.path.join(out_dir, "live.json")) as f:
-            segs = json.load(f)["segments"]
-        self.seg_dirs = [os.path.join(out_dir, "segments", s) for s in segs]
+            live = json.load(f)["segments"]
+        if segments is not None:
+            unknown = set(segments) - set(live)
+            if unknown:
+                raise ValueError(f"not live segments: {sorted(unknown)}")
+        self.seg_dirs = [os.path.join(out_dir, "segments", s)
+                         for s in (segments if segments is not None
+                                   else live)]
         self.n_docs, self.sum_dl = 0, 0
         self.n_buckets = None
         self.fields: dict = {}   # field name -> {n_docs, sum_dl} (global)
-        for sd in self.seg_dirs:
+        for sd in [os.path.join(out_dir, "segments", s) for s in live]:
             with open(os.path.join(sd, "corpus_stats.json")) as f:
                 cs = json.load(f)
             self.n_docs += cs["n_docs"]
@@ -74,9 +87,17 @@ class LocalSearcher:
                           for sd in self.seg_dirs]
         self._stores = [ds.dataset(os.path.join(sd, "doc_store"))
                         for sd in self.seg_dirs]
+        # dictionary structures are GLOBAL (all live segments) even for a
+        # doc shard: expansions and document frequencies are corpus-level
+        # facts — a shard computing df from its own postings would score
+        # differently from the unsharded index and break the exact
+        # coordinator merge
+        live_dirs = [os.path.join(out_dir, "segments", s) for s in live]
+        self._is_shard = segments is not None and set(
+            segments) != set(live)
         self._term_dicts = [ds.dataset(os.path.join(sd, "term_dict"),
                                        partitioning="hive")
-                            for sd in self.seg_dirs]
+                            for sd in live_dirs]
         self._term_cache: dict = {}  # term -> decoded (ids, tfs, dls)
         self._pos_cache: dict = {}   # term -> packed (doc_id, pos) keys
         self._term_cache_cap = 4096
@@ -171,6 +192,25 @@ class LocalSearcher:
                 self._term_cache[(field_id, t)] = out[t]
         return out
 
+    def _df(self, term: str, field_id: int, local: float) -> float:
+        """Document frequency for scoring: the local postings count IS the
+        global df for a full searcher; a doc shard looks it up in the
+        global term dictionary (cached, bucket+term-pruned scan)."""
+        if not self._is_shard:
+            return local
+        key = ("gdf", field_id, term)
+        hit = self._filter_cache.get(key)
+        if hit is None:
+            filt = ((ds.field("bucket") == bucket_of(term, self.n_buckets))
+                    & (ds.field("field") == field_id)
+                    & (ds.field("term") == term))
+            hit = 0.0
+            for td in self._term_dicts:
+                tbl = td.to_table(columns=["df"], filter=filt)
+                hit += float(sum(tbl.column("df").to_pylist() or [0]))
+            self._filter_cache[key] = hit
+        return hit
+
     def _term_score(self, tfs: np.ndarray, dls: np.ndarray, df: float,
                     n: float | None = None,
                     avgdl: float | None = None) -> np.ndarray:
@@ -232,7 +272,7 @@ class LocalSearcher:
         for t, a in acc.items():
             if not a["n"]:
                 continue
-            df = float(sum(a["n"]))
+            df = self._df(t, field_id, float(sum(a["n"])))
             idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
             ubs = np.array([idf * tfn(mt, md) for mt, md in a["ub"]])
             lbs = np.array([idf * tfn(mt, md) for mt, md in a["lb"]])
@@ -323,7 +363,8 @@ class LocalSearcher:
         for t, (ids, tfs, dls) in posts.items():
             idx = np.searchsorted(uniq, ids)
             s = self._term_score(tfs.astype(np.float64),
-                                 dls.astype(np.float64), float(ids.size))
+                                 dls.astype(np.float64),
+                                 self._df(t, 0, float(ids.size)))
             np.add.at(scores, idx, s)
             nmatch[idx] += 1
         mask = np.ones(uniq.size, dtype=bool)
@@ -374,7 +415,7 @@ class LocalSearcher:
                 idx = np.searchsorted(uniq, ids)
                 np.add.at(s_f, idx, self._term_score(
                     tfs.astype(np.float64), dls.astype(np.float64),
-                    float(ids.size), n, avgdl))
+                    self._df(_t, fid, float(ids.size)), n, avgdl))
             boosted = float(boost) * s_f
             for d, v in zip(uniq.tolist(), boosted.tolist()):
                 if v > per_doc.get(d, -1.0):
@@ -579,7 +620,8 @@ class LocalSearcher:
                     ids, tfs, dls = p
                     arrs.append((ids, self._term_score(
                         tfs.astype(np.float64), dls.astype(np.float64),
-                        float(ids.size), n_f, avgdl_f)))
+                        self._df(e, fid, float(ids.size)),
+                        n_f, avgdl_f)))
                 if not arrs:
                     continue
                 if len(arrs) == 1:
@@ -820,3 +862,57 @@ class LocalSearcher:
         out = out[:MAX_EXPANSIONS] or [term]
         self._filter_cache[key] = out
         return out
+
+
+class ShardedSearcher:
+    """Doc-partitioned serving fan-out — the ES shard/coordinator split
+    made concrete (the module docstring's 100 TB pattern). Live segments
+    hold disjoint doc-id ranges, so they ARE the doc shards: each shard is
+    a :class:`LocalSearcher` over a segment subset that scores with the
+    GLOBAL corpus statistics (exact df/N — better than ES, which only
+    approximates global stats per shard), and the coordinator merges the
+    per-shard top-k heaps under the engine's exact tie-break
+    (score desc, doc_id asc).
+
+    In production each shard is a separate process/host holding only its
+    segments; here they share a process, but the merge logic, the
+    global-stats contract, and the per-shard result bound (k rows, not the
+    candidate set) are the real thing — coordinator memory is O(shards·k).
+    """
+
+    def __init__(self, out_dir: str, n_shards: int = 2):
+        with open(os.path.join(out_dir, "live.json")) as f:
+            live = json.load(f)["segments"]
+        n_shards = max(1, min(n_shards, len(live)))
+        assign = [live[i::n_shards] for i in range(n_shards)]
+        self.shards = [LocalSearcher(out_dir, segments=a) for a in assign]
+
+    @staticmethod
+    def _merge(parts: list, k: int, keys=("score", "doc_id")):
+        rows = [r for p in parts for r in p]
+        rows.sort(key=lambda r: (-r[keys[0]], r[keys[1]]))
+        return rows[:k]
+
+    def bm25_topk(self, query: str, k: int = 20, *, hydrate: bool = True,
+                  prune: bool = False, require_all: bool = False):
+        return self._merge(
+            [s.bm25_topk(query, k, hydrate=hydrate, prune=prune,
+                         require_all=require_all) for s in self.shards], k)
+
+    def dismax_topk(self, query: str, k: int = 20, *, hydrate: bool = True):
+        return self._merge(
+            [s.dismax_topk(query, k, hydrate=hydrate)
+             for s in self.shards], k)
+
+    def search(self, params):
+        # per-doc scores depend only on global stats + the doc itself, so
+        # a doc's score is identical in its shard and in the unsharded
+        # searcher; merging per-shard top-k is exact
+        return self._merge([s.search(params) for s in self.shards],
+                           params.k)
+
+    def phrase_match(self, phrase: str, *, hydrate: bool = False):
+        rows = [r for s in self.shards
+                for r in s.phrase_match(phrase, hydrate=hydrate)]
+        rows.sort(key=lambda r: r["doc_id"])
+        return rows

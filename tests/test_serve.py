@@ -243,3 +243,45 @@ def test_serve_latency(index_dir):
     per = (time.time() - t0) / n
     # serving must be orders of magnitude below the Spark job floor
     assert per < 0.5, f"{per:.3f}s per query"
+
+
+# -- sharded serving fan-out (round 3): doc shards + coordinator merge -------
+
+def test_sharded_matches_unsharded(spark, index_dir):
+    """Per-shard top-k heaps with GLOBAL stats merge into exactly the
+    unsharded ranking — on the 2-segment index each shard holds one
+    segment, so this exercises a real doc split."""
+    from planet_search_spark.queries.serve import ShardedSearcher
+    from planet_search_spark.queries.params import SearchParams
+    single = LocalSearcher(index_dir)
+    shard = ShardedSearcher(index_dir, n_shards=2)
+    assert len(shard.shards) == 2
+    assert all(len(s.seg_dirs) == 1 for s in shard.shards)
+    for q in ["error timeout retry", "the data", "spark", "zzznothing"]:
+        got = shard.bm25_topk(q, k=12, hydrate=False)
+        want = single.bm25_topk(q, k=12, hydrate=False)
+        assert [(g["doc_id"], round(g["score"], 10)) for g in got] == \
+               [(w["doc_id"], round(w["score"], 10)) for w in want], q
+    p = SearchParams(query="error timeout", multifield=True,
+                     phrase_tiers=True, recency=True, k=10)
+    got = shard.search(p)
+    want = single.search(p)
+    assert [(g["doc_id"], round(g["score"], 10)) for g in got] == \
+           [(w["doc_id"], round(w["score"], 10)) for w in want]
+    assert [r["doc_id"] for r in shard.phrase_match("out of memory")] == \
+           [r["doc_id"] for r in single.phrase_match("out of memory")]
+
+
+def test_shard_global_stats(spark, index_dir):
+    """A one-segment shard still scores with the WHOLE index's corpus
+    stats (n_docs/avgdl/df base) — the invariant the exact merge needs."""
+    from planet_search_spark.queries.serve import LocalSearcher as LS
+    import json as _json, os as _os
+    with open(_os.path.join(index_dir, "live.json")) as f:
+        live = _json.load(f)["segments"]
+    full = LS(index_dir)
+    part = LS(index_dir, segments=live[:1])
+    assert part.n_docs == full.n_docs
+    assert part.fields == full.fields
+    with pytest.raises(ValueError, match="not live"):
+        LS(index_dir, segments=["seg_999"])
