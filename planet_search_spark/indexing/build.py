@@ -436,11 +436,19 @@ def _term_dict_and_postings(spark: SparkSession, seg_dir: str,
         # shuffle carries this id instead of the term string; per-bucket
         # windows stay bounded because n_buckets scales with the cluster.
         w_tid = Window.partitionBy("bucket").orderBy("field", "term")
+        # max REAL tf-normalization over actual (tf, dl) postings — a far
+        # tighter cap on the achievable WAND θ than the (max_tf, min_dl)
+        # pairing (θ_t can never exceed idf·max_tfn_real); free here since
+        # tf_stored rows carry the real pairs
+        tfn_real = (F.col("tf")
+                    / (F.col("tf") + k1 * (1 - b + b * F.col("dl")
+                                           / avgdl_col)))
         (tf_stored.groupBy("bucket", "field", "term")
            .agg(F.count("*").cast("double").alias("df"),
                 F.sum("tf").cast("long").alias("cf"),
                 F.max("tf").cast("double").alias("max_tf"),
-                F.min("dl").cast("double").alias("min_dl"))
+                F.min("dl").cast("double").alias("min_dl"),
+                F.max(tfn_real).alias("max_tfn_real"))
            .withColumn("max_score_ub", smax)
            .withColumn("term_id",
                        F.row_number().over(w_tid).cast("long")
@@ -542,6 +550,33 @@ def _term_dict_and_postings(spark: SparkSession, seg_dir: str,
         built_groups += 1
         if fail_after_group >= 0 and built_groups >= fail_after_group:
             raise RuntimeError(f"injected failure after group {gi}")
+    if not done("term_bounds.done"):
+        # per-(field, term) MIN over blocks of the block upper-bound's
+        # tf-normalization (df-independent; idf re-attaches at query time).
+        # Powers the engine's no-possible-prune static gate: when every
+        # block of a term bounds at least as high as the best achievable θ,
+        # the θ job is pure overhead (uniform corpora, doc-ordered blocks)
+        # and is skipped entirely. A tiny column-pruned scan of block
+        # metadata (~postings/block_size rows), NOT the posting payloads.
+        k1, b = S.K1, S.B
+        avgdl_col = F.create_map(
+            *[x for fid, (_nf, af) in field_stats.items()
+              for x in (F.lit(fid), F.lit(af))])[F.col("field")]
+        tfn = (F.col("max_tf")
+               / (F.col("max_tf")
+                  + k1 * (1 - b + b * F.col("min_dl") / avgdl_col)))
+        (spark.read.parquet(postings_path)
+             .select("field", "term", tfn.alias("tfn"))
+             .groupBy("field", "term")
+             .agg(F.min("tfn").alias("min_tfn"),
+                  # 10th-percentile block ub: the gate's cost model —
+                  # pruning runs only when at least ~10% of some term's
+                  # blocks could drop at the θ cap
+                  F.percentile_approx("tfn", 0.10).alias("ub_tfn_q10"))
+             .write.mode("overwrite")
+             .parquet(os.path.join(seg_dir, "term_bounds")))
+        mark("term_bounds.done")
+        lap("term_bounds")
     return n_terms_total, built_groups
 
 

@@ -33,11 +33,23 @@ main job):
   equal across terms) fail the gate and skip the θ job entirely — pruning
   cannot win there, so the unpruned plan runs (this was a measured
   regression in round 1 when pruning was unconditional).
+* benefit gate (term-level, zero jobs): θ can never exceed
+  M_real := max_t idf_t·max_tfn_real(t) (the best ACTUAL posting, stored
+  in term_dict at build time); pruning runs only when for SOME term the
+  10th-percentile block ub (the term_bounds sidecar) plus its `other`
+  sits below M_real — i.e. at least ~10% of that term's blocks could
+  drop at the θ cap. Below that, the two θ jobs cost more than the
+  decode they save (the homogeneous-bounds uniform-corpus case, a
+  measured net loss) and are skipped. Performance decision only — gating
+  never changes results.
 * θ = max over terms t of θ_t, where θ_t is the k-th largest REAL decoded
-  per-term score among the postings of t's best blocks (by descending
-  stored lower bound; the θ job ships those blocks' tf/dl payloads, still
-  bounded by the same row limit). Any k real docs' total scores are ≥
-  their t-contributions ≥ θ_t, so θ lower-bounds the true k-th best total.
+  per-term score among the postings of t's best blocks by descending
+  UPPER bound (phase 1 is metadata-only; phase 2 fetches only the winning
+  blocks' tf/dl payloads, bounded by the same row limit). ANY subset of
+  t's postings yields a valid θ_t — adding postings only raises the k-th
+  largest — and picking high-ub blocks finds the best real postings. Any
+  k real docs' total scores are ≥ their t-contributions ≥ θ_t, so θ
+  lower-bounds the true k-th best total.
   Blocks of ONE term are doc-disjoint (each doc appears once per posting
   list, and segments hold disjoint doc ranges); blocks of DIFFERENT terms
   may share docs, which is why θ is a max over per-term values, never a
@@ -146,7 +158,10 @@ def _union_read(spark: SparkSession, idx: IndexMeta, sub: str) -> DataFrame:
         dfs.append(spark.read.option("basePath", path).parquet(path))
     out = dfs[0]
     for d in dfs[1:]:
-        out = out.unionByName(d)
+        # allowMissingColumns: additive schema evolution across segment
+        # generations (e.g. term_dict.max_tfn_real, round 3) — readers
+        # detect the resulting NULLs where the column matters
+        out = out.unionByName(d, allowMissingColumns=True)
     return out
 
 
@@ -182,12 +197,46 @@ def _term_stats(spark: SparkSession, idx: IndexMeta, terms: list[str],
           .where(F.col("bucket").isin(buckets))
           .where(F.col("field").isin(list(field_ids)))
           .where(F.col("term").isin(list(set(terms)))))
-    agg = td.groupBy("field", "term").agg(F.sum("df").alias("df"),
-                                          F.max("max_tf").alias("max_tf"),
-                                          F.min("min_dl").alias("min_dl"))
+    if "max_tfn_real" not in td.columns:
+        td = td.withColumn("max_tfn_real", F.lit(None).cast("double"))
+    agg = td.groupBy("field", "term").agg(
+        F.sum("df").alias("df"),
+        F.max("max_tf").alias("max_tf"),
+        F.min("min_dl").alias("min_dl"),
+        # a NULL from any pre-round-3 segment must poison the max (an
+        # unknown segment max invalidates the θ cap), hence the explicit
+        # null-count guard instead of null-skipping F.max alone
+        F.max("max_tfn_real").alias("max_tfn_real"),
+        F.sum(F.col("max_tfn_real").isNull().cast("int")).alias("_mtr_nulls"))
+    agg = agg.withColumn(
+        "max_tfn_real",
+        F.when(F.col("_mtr_nulls") > 0, F.lit(None))
+         .otherwise(F.col("max_tfn_real"))).drop("_mtr_nulls")
     ub = S.bm25_term_score(F.col("max_tf"), F.col("df"), F.col("min_dl"),
                            _field_lit_col(idx, 0), _field_lit_col(idx, 1))
-    return agg.select("field", "term", "df", ub.alias("max_score_ub"))
+    out = agg.select("field", "term", "df", ub.alias("max_score_ub"),
+                     "max_tfn_real")
+    # per-term MIN block-ub tf-normalization (build-time sidecar; powers
+    # the no-possible-prune gate). Absent on pre-round-3 segments -> NULL,
+    # which disables that gate but nothing else.
+    if all(os.path.isdir(os.path.join(sd, "term_bounds"))
+           for sd in idx.seg_dirs):
+        tb = _union_read(spark, idx, "term_bounds")
+        if "ub_tfn_q10" not in tb.columns:
+            tb = tb.withColumn("ub_tfn_q10", F.lit(None).cast("double"))
+        tb = (tb.where(F.col("field").isin(list(field_ids)))
+              .where(F.col("term").isin(list(set(terms))))
+              .groupBy("field", "term")
+              # min over segments: conservative toward pruning (an
+              # underestimated q10 runs the θ jobs more often, never
+              # the reverse)
+              .agg(F.min("min_tfn").alias("min_tfn"),
+                   F.min("ub_tfn_q10").alias("ub_tfn_q10")))
+        out = out.join(tb, ["field", "term"], "left")
+    else:
+        out = (out.withColumn("min_tfn", F.lit(None).cast("double"))
+                  .withColumn("ub_tfn_q10", F.lit(None).cast("double")))
+    return out
 
 
 def _decode_blocks(blocks: DataFrame) -> DataFrame:
@@ -301,10 +350,41 @@ def _wand_prune_blocks(blocks: DataFrame, stats: list, idx: IndexMeta,
     total, m = sum(mx.values()), max(mx.values())
     if not force and 2.0 * m <= total + 1e-12:
         return blocks, {"gated": True, "theta": 0.0}
+    # no-possible-prune gate: a block of t survives whenever
+    # ub(t,b) + other(t) ≥ θ, and θ ≤ M_real = max_t idf_t·max_tfn_real(t)
+    # (θ_t is a REAL per-term score, so it can never exceed t's best actual
+    # posting — a much tighter cap than the (max_tf, min_dl) pairing bound).
+    # With mn(t) = the MIN block ub of t (idf × the build-time min_tfn
+    # sidecar), mn(t) + other(t) ≥ M_real for EVERY query term proves no θ
+    # can drop any block — skip both θ jobs. This is the homogeneous-bounds
+    # uniform-corpus case that made pruning a measured net loss; a
+    # performance decision only, so cross-segment avgdl drift in the stored
+    # tfn cannot affect correctness. NULL min_tfn / max_tfn_real
+    # (pre-sidecar segments) disables the gate.
+    def _idf(fk):
+        n_f, _af = field_stats[int(fk.split(":", 1)[0])]
+        dfv = df_map[fk]
+        return math.log(1.0 + (n_f - dfv + 0.5) / (dfv + 0.5))
+    by_fk = {_fkey(r["field"], r["term"]): r for r in stats}
+    if not force:
+        caps = [(_idf(fk) * float(r["max_tfn_real"]))
+                if r["max_tfn_real"] is not None else None
+                for fk, r in by_fk.items()]
+        if all(c is not None for c in caps):
+            m_real = max(caps)
+            prunable = False
+            for fk, v in mx.items():
+                q10 = by_fk[fk]["ub_tfn_q10"]
+                if q10 is None:
+                    prunable = True
+                    break
+                if _idf(fk) * float(q10) + (total - v) < m_real - 1e-9:
+                    prunable = True
+                    break
+            if not prunable:
+                return blocks, {"gated": True, "theta": 0.0}
     n_col, avgdl_col = _field_lit_col(idx, 0), _field_lit_col(idx, 1)
     df_col = _df_map_col(df_map)
-    lb = S.bm25_term_score(F.col("min_tf"), df_col, F.col("max_dl"),
-                           n_col, avgdl_col)
     # TWO-PHASE θ. Phase 1: metadata-only TakeOrderedAndProject (exactly
     # the round-2 job — no binary columns ride the heap shuffle; shipping
     # every candidate block's tf/dl payload through the sort was a measured
@@ -313,12 +393,22 @@ def _wand_prune_blocks(blocks: DataFrame, stats: list, idx: IndexMeta,
     # θ_t as the k-th largest REAL decoded per-term score among them — far
     # tighter than the (min_tf, max_dl) pairing bound, which can undercut
     # every actual posting in a block (that left impact-stratified blocks
-    # nearly unpruned). Validity: those k docs' TOTAL scores are >= their
-    # t-contributions >= θ_t, so θ = max_t θ_t still lower-bounds the true
-    # k-th best total score. Driver state stays bounded in both phases.
-    top = (blocks.select("field", "term", "n_docs", "block_id",
-                         lb.alias("lb"))
-           .orderBy(F.desc("lb")).limit(max(64, 4 * k)).toPandas())
+    # nearly unpruned). Validity: ANY subset of a term's postings gives a
+    # valid θ_t (its k-th largest real score only grows as postings are
+    # added, and those k docs' TOTAL scores are ≥ their t-contributions),
+    # so θ = max_t θ_t lower-bounds the true k-th best total score
+    # regardless of which blocks phase 1 picks. Phase 1 therefore picks by
+    # the stored per-block MAX REAL score (``max_score``, computed from the
+    # actual postings at encode time) — the blocks that provably hold the
+    # best real postings, so θ_t reaches the true k-th-largest per-term
+    # score whenever the top postings span ≥ k of the selected blocks.
+    # (Ordering by a pairing bound — lb or even ub — selected
+    # near-arbitrary blocks on uniform corpora and left θ visibly below
+    # the best real scores.) Driver state stays bounded in both phases.
+    ub = S.bm25_term_score(F.col("max_tf"), df_col, F.col("min_dl"),
+                           n_col, avgdl_col)
+    top = (blocks.select("field", "term", "n_docs", "block_id", "max_score")
+           .orderBy(F.desc("max_score")).limit(max(64, 4 * k)).toPandas())
     theta = 0.0
     top["fkey"] = top["field"].astype(str) + ":" + top["term"]
     need = []
@@ -330,7 +420,6 @@ def _wand_prune_blocks(blocks: DataFrame, stats: list, idx: IndexMeta,
             continue          # term has < k postings in the collected top
         need.append(sel)
     if need:
-        import pandas as pd
         want = pd.concat(need)
         keys = set(zip(want["field"], want["term"], want["block_id"]))
         pay = (blocks.where(
@@ -359,8 +448,6 @@ def _wand_prune_blocks(blocks: DataFrame, stats: list, idx: IndexMeta,
     other_col = F.create_map(
         *[x for t, v in mx.items() for x in (F.lit(t), F.lit(total - v))]
     )[_fkey_col()]
-    ub = S.bm25_term_score(F.col("max_tf"), df_col, F.col("min_dl"),
-                           n_col, avgdl_col)
     kept = blocks.where((ub + other_col) >= F.lit(theta - 1e-12))
     return kept, {"gated": False, "theta": theta}
 

@@ -237,9 +237,10 @@ class LocalSearcher:
         depends on k)."""
         n, avgdl = self._field_stats("text" if field_id == 0 else "meta")
         acc: dict[str, dict] = {t: {"n": [], "d": [], "t": [], "l": [],
-                                    "ub": [], "lb": []} for t in terms}
+                                    "ub": [], "lb": [], "ms": []}
+                                for t in terms}
         cols = ["term", "n_docs", "docs_bin", "tfs_bin", "dls_bin",
-                "max_tf", "min_dl", "min_tf", "max_dl"]
+                "max_tf", "min_dl", "min_tf", "max_dl", "max_score"]
         buckets = sorted({bucket_of(t, self.n_buckets) for t in terms})
         filt = (ds.field("bucket").isin(buckets)
                 & (ds.field("field") == field_id)
@@ -258,6 +259,7 @@ class LocalSearcher:
                            tbl.column("min_dl").to_pylist()))
             lbp = list(zip(tbl.column("min_tf").to_pylist(),
                            tbl.column("max_dl").to_pylist()))
+            mscol = tbl.column("max_score").to_pylist()
             for i, t in enumerate(tcol):
                 a = acc[t]
                 a["n"].append(ncol[i])
@@ -266,6 +268,7 @@ class LocalSearcher:
                 a["l"].append(lbin[i])
                 a["ub"].append(ubp[i])
                 a["lb"].append(lbp[i])
+                a["ms"].append(mscol[i])
         k1, b = S.K1, S.B
         tfn = lambda tf, dl: tf / (tf + k1 * (1 - b + b * dl / avgdl))  # noqa: E731
         per_term = {}
@@ -282,11 +285,14 @@ class LocalSearcher:
         mx = {t: float(v[2].max()) for t, v in per_term.items()}
         total = sum(mx.values())
         theta = 0.0
-        # θ_t from REAL decoded scores of the best-lb blocks (same
-        # tightening as the engine: the (min_tf, max_dl) pairing bound can
-        # undercut every actual posting in a block)
+        # θ_t from REAL decoded scores of the best blocks by descending
+        # stored per-block MAX REAL score (same argument as the engine: any
+        # posting subset yields a valid θ_t, and the max_score ordering
+        # provably finds the blocks holding the best real postings —
+        # pairing-bound orderings picked near-arbitrary blocks on uniform
+        # corpora and left θ loose)
         for t, (a, df, ubs, lbs) in per_term.items():
-            order = np.argsort(-lbs)
+            order = np.argsort(-np.asarray(a["ms"], dtype=np.float64))
             n_docs_t = np.asarray(a["n"], dtype=np.int64)[order]
             cum = np.cumsum(n_docs_t)
             take = int(np.searchsorted(cum, k) + 1)

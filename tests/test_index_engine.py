@@ -395,3 +395,39 @@ def test_impact_layout_inherited_by_incremental(spark, tmp_path):
     with open(os.path.join(out, "segments", "seg_2",
                            "corpus_stats.json")) as f:
         assert _json.load(f)["impact_order"] is True
+
+
+def test_benefit_gate_skips_theta_on_homogeneous_blocks(spark, tmp_path):
+    """Identical docs -> identical block bounds -> the benefit gate must
+    prove pruning can't drop >=10% of blocks and skip the θ jobs; on a
+    skewed corpus it must NOT gate (and must actually prune). Gating is a
+    performance decision only — results stay identical either way."""
+    from pyspark.sql import functions as F
+    uni = spark.createDataFrame(
+        [("c", t, "user", "same text every turn here", None,
+          1_767_225_600 + t) for t in range(600)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, epoch bigint") \
+        .withColumn("ts", F.timestamp_seconds("epoch")).drop("epoch")
+    out_u = str(tmp_path / "uni")
+    build_index(spark, uni, out_u, n_buckets=2, block_size=16, n_groups=1,
+                with_positions=False)
+    st: dict = {}
+    got = E.bm25_topk(spark, out_u, "same", k=5, prune=True, hydrate=False,
+                      prune_stats=st).collect()
+    want = E.bm25_topk(spark, out_u, "same", k=5, prune=False,
+                       hydrate=False).collect()
+    assert st["gated"] is True, st
+    assert [(r.doc_id, r.score) for r in got] == \
+           [(r.doc_id, r.score) for r in want]
+
+    from planet_search_spark.transcripts import clustered_corpus
+    out_s = str(tmp_path / "skew")
+    tx = clustered_corpus(spark, 20_000, hot_docs=1024, parallelism=8)
+    build_index(spark, tx, out_s, n_buckets=4, block_size=64,
+                salt_target=4096, n_groups=1, with_positions=False)
+    st2: dict = {}
+    E.bm25_topk(spark, out_s, "hotterm", k=20, prune=True, hydrate=False,
+                prune_stats=st2).collect()
+    assert st2["gated"] is False, st2
+    assert st2["blocks_kept"] < st2["blocks_total"], st2
