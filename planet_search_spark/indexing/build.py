@@ -565,8 +565,21 @@ def _term_dict_and_postings(spark: SparkSession, seg_dir: str,
         tfn = (F.col("max_tf")
                / (F.col("max_tf")
                   + k1 * (1 - b + b * F.col("min_dl") / avgdl_col)))
+        # HOT TERMS ONLY (df ≥ ~8 blocks): the gate exists to spare hot
+        # terms' θ jobs; percentile digests over the full 5M-term
+        # vocabulary cost 30 s at 1 executor and scaled at 0.40 — a
+        # semi-join against the hot dictionary rows collapses the agg to
+        # seconds (AQE picks broadcast while the hot set is small; at a
+        # vocabulary scale where it is not, the shuffle semi-join is
+        # still far cheaper than full-vocab digests). Tail terms get no
+        # sidecar row (NULL at read time), which the engine treats as
+        # "prunable" — exactly the pre-sidecar behavior.
+        hot = (spark.read.parquet(term_dict_path)
+               .where(F.col("df") >= float(8 * block_size))
+               .select("field", "term"))
         (spark.read.parquet(postings_path)
              .select("field", "term", tfn.alias("tfn"))
+             .join(hot, ["field", "term"], "left_semi")
              .groupBy("field", "term")
              .agg(F.min("tfn").alias("min_tfn"),
                   # 10th-percentile block ub: the gate's cost model —
