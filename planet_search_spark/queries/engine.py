@@ -58,9 +58,14 @@ main job):
   as a plain column FILTER on the block relation (per-term constants via a
   literal map), so multi-segment indexes need no (term, block_id) join and
   block_id uniqueness across segments is irrelevant.
-* pruning is DISABLED under ``require_all``: θ lower-bounds the k-th best
-  *disjunctive* score, so an AND-matching doc scoring below θ could lose a
-  pruned term contribution and silently drop out of conjunctive results.
+* θ-pruning is DISABLED under ``require_all``: θ lower-bounds the k-th
+  best *disjunctive* score, so an AND-matching doc scoring below θ could
+  lose a pruned term contribution and silently drop out of conjunctive
+  results. Conjunctive queries get SOUND doc-range pruning instead
+  (:func:`_and_range_prune_blocks`): every AND doc lies inside a
+  rarest-term block's doc range, so other terms' non-overlapping blocks
+  drop with exact membership AND scores — the Lucene two-pointer
+  ``advance()`` skip as a broadcast range anti-filter on block metadata.
 
 Exactness argument: if a block is pruned, every doc in it has true score
 < θ; any doc with true score ≥ θ therefore keeps ALL its blocks and its
@@ -472,6 +477,39 @@ def bm25_scores(spark: SparkSession, out_dir: str, query: str, *,
     return agg
 
 
+def _and_range_prune_blocks(blocks: DataFrame, stats: list) -> DataFrame:
+    """Conjunctive doc-range pruning — SOUND under AND (unlike θ-pruning).
+
+    Every AND-result doc has a posting for the RAREST query term, hence
+    lies inside some rarest-term block's [first_doc, last_doc] range; a
+    block of any other term containing such a doc necessarily overlaps
+    that range (both contain the doc). So dropping other-term blocks that
+    overlap NO rarest-term range removes only docs that cannot satisfy
+    the conjunction, and every surviving doc keeps ALL its blocks — both
+    membership and scores stay exact (the Lucene two-pointer advance()
+    skip, expressed as a broadcast range anti-filter on block metadata).
+
+    Applied only when the rarest term is genuinely selective (df ≤ 2^18,
+    so its block-range relation broadcasts in KBs, and ≥ 4× rarer than
+    the hottest term, so ranges don't cover the whole doc space).
+    """
+    if len(stats) < 2:
+        return blocks
+    dfs = {_fkey(r["field"], r["term"]): float(r["df"]) for r in stats}
+    rarest = min(dfs, key=dfs.get)
+    if dfs[rarest] > float(1 << 18) or max(dfs.values()) < 4 * dfs[rarest]:
+        return blocks
+    rare_blocks = blocks.where(_fkey_col() == F.lit(rarest))
+    ranges = rare_blocks.select(F.col("first_doc").alias("_rf"),
+                                F.col("last_doc").alias("_rl"))
+    kept_others = (blocks.where(_fkey_col() != F.lit(rarest))
+                   .join(F.broadcast(ranges),
+                         (F.col("first_doc") <= F.col("_rl"))
+                         & (F.col("last_doc") >= F.col("_rf")),
+                         "left_semi"))
+    return rare_blocks.unionByName(kept_others)
+
+
 def bm25_topk(spark: SparkSession, out_dir: str, query: str, k: int = 20, *,
               require_all: bool = False, prune: bool = True,
               hydrate: bool = True, prune_stats: dict | None = None) -> DataFrame:
@@ -481,11 +519,12 @@ def bm25_topk(spark: SparkSession, out_dir: str, query: str, k: int = 20, *,
     exactness argument.
 
     ``prune`` accepts ``"force"`` to bypass the selectivity gate (tests use
-    it to guarantee the pruned code path runs). Pruning is always disabled
-    under ``require_all`` (unsound for conjunctive results — docstring).
-    ``prune_stats``, when a dict, is filled with {theta, gated,
-    blocks_total, blocks_kept} (the counts cost two extra metadata-only
-    jobs; pass None outside tests).
+    it to guarantee the pruned code path runs). θ-pruning is always
+    disabled under ``require_all`` (unsound for conjunctive results —
+    docstring); conjunctive queries instead get SOUND doc-range pruning
+    (:func:`_and_range_prune_blocks`). ``prune_stats``, when a dict, is
+    filled with {theta, gated, blocks_total, blocks_kept} (the counts cost
+    two extra metadata-only jobs; pass None outside tests).
     """
     idx = open_index(out_dir)
     terms = sorted(set(A.py_tokens(query)))
@@ -493,8 +532,11 @@ def bm25_topk(spark: SparkSession, out_dir: str, query: str, k: int = 20, *,
         return spark.range(0).select(F.col("id").alias("doc_id"),
                                      F.lit(0.0).alias("score"))
     blocks = _load_blocks(spark, idx, terms)
+    blocks_raw = blocks
     stats = _collect_term_stats(spark, idx, terms)
     do_prune = bool(prune) and not require_all
+    if bool(prune) and require_all:
+        blocks = _and_range_prune_blocks(blocks, stats)
     blocks_kept, info = (_wand_prune_blocks(blocks, stats, idx, k,
                                             force=(prune == "force"),
                                             want_theta=prune_stats is not None)
@@ -502,7 +544,7 @@ def bm25_topk(spark: SparkSession, out_dir: str, query: str, k: int = 20, *,
                                                     "theta": 0.0}))
     if prune_stats is not None:
         prune_stats.update(info)
-        prune_stats["blocks_total"] = blocks.count()
+        prune_stats["blocks_total"] = blocks_raw.count()
         prune_stats["blocks_kept"] = blocks_kept.count()
     scored = _scored_postings(idx, blocks_kept, _stats_df_map(stats))
     agg = (scored.groupBy("doc_id")

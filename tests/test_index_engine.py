@@ -137,18 +137,48 @@ def test_wand_actually_prunes_multisegment(spark, skewed_index):
 
 
 def test_prune_disabled_under_require_all(spark, skewed_index):
-    """θ lower-bounds the k-th DISJUNCTIVE score, so pruning must be off for
-    conjunctive queries: a 'the zz' AND-match in a pruned 'the' block would
-    lose that term's postings and vanish. k=40 reaches into the long docs
-    whose blocks disjunctive pruning provably drops (test above)."""
+    """θ lower-bounds the k-th DISJUNCTIVE score, so θ-pruning must be off
+    for conjunctive queries: a 'the zz' AND-match in a θ-pruned 'the'
+    block would lose that term's postings and vanish. Conjunctive queries
+    instead get SOUND doc-range pruning, but its selectivity gate must
+    not fire here ('the' and 'zz' share every doc — equal dfs), so kept
+    == total. k=40 reaches into the long docs whose blocks disjunctive
+    pruning provably drops (test above)."""
     stats: dict = {}
     pruned = E.bm25_topk(spark, skewed_index, "the zz", k=40,
                          require_all=True, prune=True, hydrate=False,
                          prune_stats=stats).toPandas()
     full = E.bm25_topk(spark, skewed_index, "the zz", k=40,
                        require_all=True, prune=False, hydrate=False).toPandas()
+    assert stats["gated"] is True          # the θ path never ran
     assert stats["blocks_kept"] == stats["blocks_total"]
     assert len(full) == 40 and list(pruned.doc_id) == list(full.doc_id)
+    assert (pruned.score - full.score).abs().max() < 1e-12
+
+
+def test_and_range_prune_drops_blocks_exactly(spark, tmp_path):
+    """Conjunctive doc-range pruning: a genuinely rare AND term confines
+    results to its blocks' doc ranges, so the hot term's non-overlapping
+    blocks drop — doc-for-doc and score-for-score identical to unpruned."""
+    rows = [("c", t, "user",
+             "the rare here" if t < 8 else "the just filler words",
+             None, 1_767_225_600 + t) for t in range(400)]
+    tx = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, epoch bigint") \
+        .withColumn("ts", F.timestamp_seconds("epoch")).drop("epoch")
+    out = str(tmp_path / "andidx")
+    build_index(spark, tx, out, n_buckets=2, block_size=16, n_groups=1,
+                with_positions=False)
+    stats: dict = {}
+    pruned = E.bm25_topk(spark, out, "the rare", k=5, require_all=True,
+                         prune=True, hydrate=False,
+                         prune_stats=stats).toPandas()
+    full = E.bm25_topk(spark, out, "the rare", k=5, require_all=True,
+                       prune=False, hydrate=False).toPandas()
+    assert stats["gated"] is True                      # θ never ran
+    assert stats["blocks_kept"] < stats["blocks_total"], stats
+    assert list(pruned.doc_id) == list(full.doc_id) != []
     assert (pruned.score - full.score).abs().max() < 1e-12
 
 
