@@ -648,28 +648,35 @@ def _finalize_segment(spark: SparkSession, out_dir: str, seg_dir: str,
                  ).to_parquet(os.path.join(seg_dir, "lineage.parquet"))
 
     live_path = os.path.join(out_dir, "live.json")
-    segments, prev_next = [segment], 1
-    if replace_segments and os.path.exists(live_path):
+    segments, prev_next, prev, retired = [segment], 1, [], {}
+    if os.path.exists(live_path):
+        with open(live_path) as f:
+            prev_live = json.load(f)
+        prev = prev_live.get("segments", [])
+        prev_next = int(prev_live.get("next_seg_id", 1))
+        retired = dict(prev_live.get("retired", {}))
+    if replace_segments:
         # compaction: the merged segment atomically REPLACES its inputs;
         # segments appended concurrently since the merge started survive
-        with open(live_path) as f:
-            prev_live = json.load(f)
-        prev = prev_live.get("segments", [])
-        prev_next = int(prev_live.get("next_seg_id", 1))
         segments = [s for s in prev if s not in replace_segments] + [segment]
-    elif append and os.path.exists(live_path):
-        with open(live_path) as f:
-            prev_live = json.load(f)
-        prev = prev_live.get("segments", [])
-        prev_next = int(prev_live.get("next_seg_id", 1))
+    elif append:
         segments = prev + [s for s in segments if s not in prev]
     # monotonic counter: never reissue an id, even across compactions and
     # retained (non-live) segment directories
     nxt = max(prev_next, 1 + max(_seg_id_of(s) for s in segments))
+    # retirement tombstones: the reader-lease grace period must run from
+    # the moment a segment LEFT the live set, not from its directory mtime
+    # (= build-completion time — a compacted-away segment is almost always
+    # already older than any grace window at retirement)
+    now = time.time()
+    for s in prev:
+        if s not in segments and s not in retired:
+            retired[s] = now
+    retired = {s: t for s, t in retired.items() if s not in segments}
     tmp = os.path.join(out_dir, ".live.json.tmp")
     with open(tmp, "w") as f:
         json.dump({"segments": segments, "next_seg_id": nxt,
-                   "published_at": time.time()}, f)
+                   "published_at": now, "retired": retired}, f)
     os.replace(tmp, live_path)
     return metrics
 
@@ -707,29 +714,44 @@ def incremental_update(spark: SparkSession, out_dir: str, new_tx: DataFrame,
 
 
 def gc_segments(out_dir: str, *, grace_sec: float = 0.0) -> list:
-    """Delete segment directories that are NOT in live.json and whose last
-    modification is older than ``grace_sec`` — the missing sweep behind
+    """Delete segment directories that are NOT in live.json and whose
+    RETIREMENT is older than ``grace_sec`` — the missing sweep behind
     compact_index's "inputs stay on disk for readers holding the old
     pointer" (an LSM without GC leaks storage forever at production churn;
     the reference cleans up by building a fresh physical index and swapping
     the alias, ElasticsearchHelper.java:219-231). The grace period is the
     reader-lease analogue: a reader that opened the old pointer less than
-    grace_sec ago may still hold file handles. Returns removed names."""
+    grace_sec ago may still hold file handles. Age runs from the
+    ``retired`` tombstone the publish wrote into live.json (the moment the
+    segment left the live set — dir mtime is build-completion time and is
+    almost always already past any grace window at retirement); directories
+    with no tombstone (crashed partial builds) fall back to dir mtime.
+    Removed tombstones are pruned from live.json. Returns removed names."""
     live_path = os.path.join(out_dir, "live.json")
     seg_root = os.path.join(out_dir, "segments")
     if not (os.path.exists(live_path) and os.path.isdir(seg_root)):
         return []
     with open(live_path) as f:
-        live = set(json.load(f)["segments"])
+        live_doc = json.load(f)
+    live = set(live_doc["segments"])
+    retired = dict(live_doc.get("retired", {}))
     removed = []
     now = time.time()
     for s in sorted(os.listdir(seg_root)):
         d = os.path.join(seg_root, s)
         if s in live or not os.path.isdir(d):
             continue
-        if now - os.path.getmtime(d) >= grace_sec:
+        since = retired.get(s, os.path.getmtime(d))
+        if now - since >= grace_sec:
             shutil.rmtree(d)
             removed.append(s)
+    if removed and any(s in retired for s in removed):
+        live_doc["retired"] = {s: t for s, t in retired.items()
+                               if s not in removed}
+        tmp = os.path.join(out_dir, ".live.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(live_doc, f)
+        os.replace(tmp, live_path)
     return removed
 
 

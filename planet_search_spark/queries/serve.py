@@ -31,6 +31,32 @@ from ..indexing import codec
 from ..indexing.build import bucket_of
 
 
+class _LRU(OrderedDict):
+    """Capped LRU mapping: ``get`` refreshes recency, ``put`` evicts the
+    oldest entry past the cap. Every serving cache uses this — an
+    admission-capped cache (insert only while below cap) pins the FIRST
+    working set forever: after a vocabulary/workload shift new hot keys
+    never enter and every query re-scans parquet."""
+
+    def __init__(self, cap: int):
+        super().__init__()
+        self.cap = cap
+
+    def get(self, key, default=None):
+        try:
+            val = self[key]
+        except KeyError:
+            return default
+        self.move_to_end(key)
+        return val
+
+    def put(self, key, val):
+        self[key] = val
+        self.move_to_end(key)
+        while len(self) > self.cap:
+            self.popitem(last=False)
+
+
 def _in_sorted(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
     """Membership mask of ``values`` in ascending ``sorted_arr`` by binary
     search — O(n log m) with no allocation-heavy merge, vs ``np.isin``'s
@@ -98,9 +124,12 @@ class LocalSearcher:
         self._term_dicts = [ds.dataset(os.path.join(sd, "term_dict"),
                                        partitioning="hive")
                             for sd in live_dirs]
-        self._term_cache: dict = {}  # term -> decoded (ids, tfs, dls)
-        self._pos_cache: dict = {}   # term -> packed (doc_id, pos) keys
         self._term_cache_cap = 4096
+        # term -> decoded (ids, tfs, dls) / packed (doc_id, pos) keys —
+        # true LRUs (not admission caps) so late-arriving hot terms are
+        # always cached after a workload shift
+        self._term_cache = _LRU(self._term_cache_cap)
+        self._pos_cache = _LRU(self._term_cache_cap)
         # bounded stored-fields cache (round-2 "what's wrong" #1: the old
         # lazy FULL doc_store materialization dies at 10^12 docs); misses
         # are pyarrow point reads — each doc_store file covers a contiguous
@@ -108,9 +137,12 @@ class LocalSearcher:
         # so an id filter prunes to ~1 fragment per requested doc
         self._doc_cache: "OrderedDict[int, dict]" = OrderedDict()
         self._doc_cache_cap = 1 << 16
-        # non-scoring filter bitsets (role/tool/kw_hash -> doc_id arrays),
-        # the ES filter-cache analogue
-        self._filter_cache: dict = {}
+        # non-scoring filter bitsets (role/tool/kw_hash -> doc_id arrays)
+        # plus prefix/fuzzy expansion lists and shard gdf lookups — the ES
+        # filter-cache analogue. Bounded: per-query ('kw', hash) entries
+        # grow with query cardinality, not corpus vocabulary, so an
+        # unbounded dict is a memory leak in a long-lived searcher.
+        self._filter_cache = _LRU(4096)
         # NUMERIC doc values (the Lucene doc_values / column-stride-fields
         # analogue): doc_id-sorted (prior, ts_epoch) arrays, 24 B/doc —
         # function_score add-ons are gathered vectorized for ANY candidate
@@ -144,8 +176,11 @@ class LocalSearcher:
         with an absolute id at every block start by construction, which is
         exactly :func:`codec.decode_positions`'s semantics.
         """
-        cached = {t: self._term_cache[(field_id, t)] for t in terms
-                  if (field_id, t) in self._term_cache}
+        cached = {}
+        for t in terms:
+            hit = self._term_cache.get((field_id, t))
+            if hit is not None:
+                cached[t] = hit
         missing = [t for t in terms if t not in cached]
         if not missing:
             return dict(cached)
@@ -171,8 +206,7 @@ class LocalSearcher:
                 # NEGATIVE cache: a term with no postings in this field
                 # (common for text-vocab terms against the meta field) must
                 # not re-scan parquet on every warm query
-                if len(self._term_cache) < self._term_cache_cap:
-                    self._term_cache[(field_id, t)] = empty
+                self._term_cache.put((field_id, t), empty)
                 continue
             n_docs = np.asarray(a["n"], dtype=np.int64)
             ids = codec.decode_positions(b"".join(a["d"]), n_docs)
@@ -188,8 +222,7 @@ class LocalSearcher:
                 o = np.argsort(ids, kind="stable")
                 ids, tfs, dls = ids[o], tfs[o], dls[o]
             out[t] = (ids, tfs, dls)
-            if len(self._term_cache) < self._term_cache_cap:
-                self._term_cache[(field_id, t)] = out[t]
+            self._term_cache.put((field_id, t), out[t])
         return out
 
     def _df(self, term: str, field_id: int, local: float) -> float:
@@ -208,7 +241,7 @@ class LocalSearcher:
             for td in self._term_dicts:
                 tbl = td.to_table(columns=["df"], filter=filt)
                 hit += float(sum(tbl.column("df").to_pylist() or [0]))
-            self._filter_cache[key] = hit
+            self._filter_cache.put(key, hit)
         return hit
 
     def _term_score(self, tfs: np.ndarray, dls: np.ndarray, df: float,
@@ -452,8 +485,11 @@ class LocalSearcher:
         one vectorized pass per segment, never per-doc Python. Hot phrase
         terms are LRU-cached like the postings term cache."""
         from ..indexing.build import FIELDS
-        out = {t: self._pos_cache[t] for t in set(terms)
-               if t in self._pos_cache}
+        out = {}
+        for t in set(terms):
+            hit = self._pos_cache.get(t)
+            if hit is not None:
+                out[t] = hit
         uniq = sorted(set(terms) - out.keys())
         if not uniq:
             return out
@@ -468,7 +504,14 @@ class LocalSearcher:
             tbl = d.to_table(columns=["doc_id", "term", "pos"], filter=filt)
             docs = tbl.column("doc_id").to_numpy().astype(np.int64)
             poss = tbl.column("pos").to_numpy().astype(np.int64)
-            assert poss.size == 0 or int(poss.max()) < self._POS_SHIFT - 64
+            # hard error, not assert: the packed-key invariant must survive
+            # `python -O` — a silently wrapped key would corrupt doc
+            # boundaries and return wrong phrase matches
+            if poss.size and int(poss.max()) >= self._POS_SHIFT - 64:
+                raise ValueError(
+                    f"token position {int(poss.max())} exceeds the packed-"
+                    f"key capacity ({self._POS_SHIFT - 64}); re-index with "
+                    "position capping for multi-million-token turns")
             keys = docs * self._POS_SHIFT + poss
             # per-term masks in Arrow compute — never materialize millions
             # of Python string objects for the term column
@@ -481,8 +524,7 @@ class LocalSearcher:
         for t, p in parts.items():
             out[t] = (np.sort(np.concatenate(p)) if p
                       else np.empty(0, dtype=np.int64))
-            if len(self._pos_cache) < self._term_cache_cap:
-                self._pos_cache[t] = out[t]
+            self._pos_cache.put(t, out[t])
         return out
 
     def phrase_match(self, phrase: str, *, hydrate: bool = False):
@@ -786,7 +828,7 @@ class LocalSearcher:
                  .column("doc_id").to_numpy() for st in self._stores]
         ids = np.sort(np.concatenate(parts)) if parts \
             else np.empty(0, dtype=np.int64)
-        self._filter_cache[key] = ids
+        self._filter_cache.put(key, ids)
         return ids
 
     def _filter_ids(self, role: str | None, tool: str | None) -> np.ndarray:
@@ -833,7 +875,7 @@ class LocalSearcher:
         filt = (ds.field("term") >= prefix) & (ds.field("term") < hi)
         terms = self._dict_arrays(field_ids, filt).to_pylist()
         out = sorted(set(terms))[:MAX_EXPANSIONS]
-        self._filter_cache[key] = out
+        self._filter_cache.put(key, out)
         return out
 
     def expand_fuzzy(self, term: str, max_ed: int,
@@ -866,7 +908,7 @@ class LocalSearcher:
         cands = sorted(set(pc.filter(arr, mask).to_pylist()))
         out = [t for t in cands if FZ.lev_leq(t, term, max_ed)]
         out = out[:MAX_EXPANSIONS] or [term]
-        self._filter_cache[key] = out
+        self._filter_cache.put(key, out)
         return out
 
 

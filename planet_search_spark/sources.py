@@ -82,7 +82,13 @@ def validate_transcripts(df: DataFrame) -> DataFrame:
 
 
 def _looks_like_table(location: str) -> bool:
-    # catalog identifiers: dotted, no path separators, no .parquet suffix
+    # catalog identifiers: dotted, no path separators, no .parquet suffix —
+    # but an existing filesystem path always wins (a relative directory
+    # name like "data" is a parquet path, not a catalog table; the table
+    # branch would fail it with a confusing TABLE_OR_VIEW_NOT_FOUND)
+    import os
+    if os.path.exists(location):
+        return False
     return ("/" not in location and "\\" not in location
             and not location.endswith(".parquet"))
 

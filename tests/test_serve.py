@@ -285,3 +285,40 @@ def test_shard_global_stats(spark, index_dir):
     assert part.fields == full.fields
     with pytest.raises(ValueError, match="not live"):
         LS(index_dir, segments=["seg_999"])
+
+
+def test_serve_caches_bounded_lru_and_late_hot_terms_cached(index_dir):
+    """Round-3 VERDICT findings #1/#2: every serving cache must stay under
+    its cap across a soak of more-than-cap distinct queries/terms, AND a
+    hot term arriving AFTER the cap is reached must still get cached (an
+    admission cap pins the first working set forever; an LRU admits it)."""
+    srv = LocalSearcher(index_dir)
+    cap = 16
+    srv._term_cache.cap = cap
+    srv._pos_cache.cap = cap
+    srv._filter_cache.cap = cap
+    srv._doc_cache_cap = cap
+    # soak: > cap distinct query strings (each inserts a ('kw', hash)
+    # filter entry via the exact-tier path is skipped here, so hit the
+    # caches directly through the public query surface)
+    for i in range(3 * cap):
+        srv.bm25_topk(f"zzq{i} spark", k=3, hydrate=True)
+        srv._kw_ids(f"{i:032x}")                 # per-query filter entries
+        srv.phrase_match(f"zzp{i} data")          # pos-cache entries
+    assert len(srv._term_cache) <= cap
+    assert len(srv._pos_cache) <= cap
+    assert len(srv._filter_cache) <= cap
+    assert len(srv._doc_cache) <= cap
+    # late hot term: first call populates the cache (LRU admits), second
+    # call must hit it (no parquet re-scan -> the entry is present before
+    # and after)
+    srv.bm25_topk("error timeout", k=5, hydrate=False)
+    assert (0, "error") in srv._term_cache
+    assert (0, "timeout") in srv._term_cache
+    before = srv._term_cache.get((0, "error"))
+    srv.bm25_topk("error timeout", k=5, hydrate=False)
+    assert srv._term_cache.get((0, "error")) is before  # same cached arrays
+    # LRU recency: the just-used hot term outlives a flood of new keys
+    for i in range(cap - 1):
+        srv._postings_arrays([f"zzflood{i}"])
+    assert (0, "error") in srv._term_cache or (0, "timeout") in srv._term_cache
