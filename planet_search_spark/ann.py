@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from . import scoring as S
 from .queries.logical import _register
+from .queries.logical import with_global_rank as _with_rank
 
 N_CENTROIDS = 8
 QUERY_VEC_ID = 0
@@ -58,7 +59,6 @@ SELECT CAST(row_number() OVER (ORDER BY sim_q DESC, vec_id) AS INT) AS rank,
 FROM sims ORDER BY sim_q DESC, vec_id LIMIT 10
 """)
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.where(F.col("vec_id") == QUERY_VEC_ID) \
            .select(F.col("embedding").alias("qv"))
@@ -68,9 +68,8 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     S.quantize(cosine(F.col("embedding"), F.col("qv")))
                      .alias("sim_q")))
     top = sims.orderBy(F.desc("sim_q"), "vec_id").limit(10)
-    w = Window.orderBy(F.desc("sim_q"), "vec_id")
-    return top.withColumn("rank", F.row_number().over(w)) \
-              .select("rank", "vec_id", "sim_q")
+    return _with_rank(top, F.desc("sim_q"), "vec_id") \
+        .select("rank", "vec_id", "sim_q")
 
 
 _SQL_ASSIGN = f"""
@@ -152,9 +151,8 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     S.quantize(cosine(F.col("embedding"), F.col("qv")))
                      .alias("sim_q")))
     top = sims.orderBy(F.desc("sim_q"), "vec_id").limit(5)
-    w = Window.orderBy(F.desc("sim_q"), "vec_id")
-    return top.withColumn("rank", F.row_number().over(w)) \
-              .select("rank", "vec_id", "sim_q")
+    return _with_rank(top, F.desc("sim_q"), "vec_id") \
+        .select("rank", "vec_id", "sim_q")
 
 
 # ---------------------------------------------------------------------------
@@ -233,7 +231,6 @@ SELECT CAST(row_number() OVER (ORDER BY sim_q DESC, vec_id) AS INT) AS rank,
 FROM sims ORDER BY sim_q DESC, vec_id LIMIT 5
 """)
 def q_ann_ivf_topk_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cents = emb.where(F.col("vec_id") < N_CENTROIDS) \
                .select(F.col("vec_id").alias("centroid_id"),
@@ -254,9 +251,8 @@ def q_ann_ivf_topk_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
                     S.quantize(cosine(F.col("embedding"), F.col("qv")))
                      .alias("sim_q")))
     top = sims.orderBy(F.desc("sim_q"), "vec_id").limit(5)
-    w = Window.orderBy(F.desc("sim_q"), "vec_id")
-    return top.withColumn("rank", F.row_number().over(w)) \
-              .select("rank", "vec_id", "sim_q")
+    return _with_rank(top, F.desc("sim_q"), "vec_id") \
+        .select("rank", "vec_id", "sim_q")
 
 
 # ---------------------------------------------------------------------------

@@ -807,7 +807,15 @@ def search(spark: SparkSession, out_dir: str, params) -> DataFrame:
     if params.operator == "and":
         agg = agg.where(F.col("nmatch") == len(set(q_terms)))
 
-    joined = agg.join(store, "doc_id")  # inner join applies B17 filters
+    # DOC-VALUES SPLIT (round-3 VERDICT #1, mirroring serve.py's numeric
+    # doc values): function_score needs only (prior, ts, kw_hash) per
+    # candidate, so the pre-top-k join ships a NARROW projection of the
+    # (already B17-filtered) doc_store — on a hot term the candidate set is
+    # O(N) and dragging conv_id/role/tool strings through that shuffle was
+    # the last stored-string scale risk. The k winners alone hydrate the
+    # stored strings after limit(k), exactly like bm25_topk's hydration.
+    narrow = store.select("doc_id", "prior", "ts", "kw_hash")
+    joined = agg.join(narrow, "doc_id")  # inner join applies B17 filters
     bool_score = F.col("bm25")
     if params.phrase_tiers:
         # constant_score phrase tiers INSIDE the bool score, before the
@@ -827,8 +835,15 @@ def search(spark: SparkSession, out_dir: str, params) -> DataFrame:
                       F.lit(S2.W_EXACT)).otherwise(F.lit(0.0)))
     if params.recency:
         final = final + S2.recency_decay(F.col("ts"), params.now_epoch)
-    return (joined.withColumn("score", final)
-            .select("doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
-                    "score", "nmatch")
+    topk = (joined.withColumn("score", final)
+            .select("doc_id", "score", "nmatch")
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(params.k))
+    # hydrate stored strings for the k winners only (broadcast the k-row
+    # side; the unfiltered store is fine — winners already passed B17)
+    full = doc_store(spark, idx).select(
+        "doc_id", "conv_id", "turn_idx", "role", "tool", "ts")
+    return (full.join(F.broadcast(topk), "doc_id")
+            .select("doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
+                    "score", "nmatch")
+            .orderBy(F.desc("score"), F.asc("doc_id")))

@@ -160,6 +160,21 @@ def _register(name: str, sql: str | None):
     return deco
 
 
+def with_global_rank(df: DataFrame, *order_cols,
+                     rank_name: str = "rank") -> DataFrame:
+    """Stamp a dense global rank on a POST-LIMIT k-row frame without a
+    partitionless window: coalesce(1) + in-partition sort + monotonic id
+    (0-based on the single partition). Semantically identical to
+    ``row_number() OVER (ORDER BY ...)`` here, but the plan is a plain
+    Coalesce+Sort — no WindowExec, so no 'No Partition Defined'
+    degradation WARN poisoning bench profiling (round-3 VERDICT #5; a
+    constant partitionBy key gets constant-folded back to the global
+    window, so that spelling does not work)."""
+    return (df.coalesce(1).sortWithinPartitions(*order_cols)
+            .withColumn(rank_name,
+                        (F.monotonically_increasing_id() + 1).cast("int")))
+
+
 # -- 0. the deterministic documents -> transcripts mapping itself -----------
 
 @_register("transcripts_view", f"""
@@ -260,15 +275,14 @@ ORDER BY score_q DESC, conv_id, turn_idx
 LIMIT 20
 """)
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
     tx = transcripts_from_documents(spark, sf_dir)
     top = (_bm25_scores(tx, Q_TERMS)
            .select("conv_id", "turn_idx", S.quantize(F.col("score")).alias("score_q"))
            .orderBy(F.desc("score_q"), "conv_id", "turn_idx")
            .limit(20))
-    w = Window.orderBy(F.desc("score_q"), "conv_id", "turn_idx")
-    return top.withColumn("rank", F.row_number().over(w)) \
-              .select("rank", "conv_id", "turn_idx", "score_q")
+    return with_global_rank(top, F.desc("score_q"), "conv_id",
+                            "turn_idx") \
+        .select("rank", "conv_id", "turn_idx", "score_q")
 
 
 # -- 7. phrase match on normalized keyword (B11/B12) -------------------------

@@ -259,21 +259,15 @@ class LocalSearcher:
 
     # -- queries ---------------------------------------------------------------
 
-    def _postings_arrays_pruned(self, terms: list[str], k: int,
-                                field_id: int = 0,
-                                prune_stats: dict | None = None) -> dict:
-        """Block-max WAND pruned postings — EXACT top-k (same θ derivation
-        and exactness argument as the engine, `engine.py` module docstring),
-        but in numpy over the already-fetched block metadata: θ costs
-        microseconds here, and pruned blocks skip the varbyte DECODE (the
-        dominant serving cost on hot terms). Never cached (the kept set
-        depends on k)."""
-        n, avgdl = self._field_stats("text" if field_id == 0 else "meta")
+    def _block_meta(self, terms: list[str], field_id: int) -> dict:
+        """term -> per-block metadata + still-encoded payload lists, the
+        raw material of serving-side WAND (one column-pruned scan per
+        segment; payloads decode only for KEPT blocks)."""
         acc: dict[str, dict] = {t: {"n": [], "d": [], "t": [], "l": [],
-                                    "ub": [], "lb": [], "ms": []}
+                                    "ub": [], "ms": []}
                                 for t in terms}
         cols = ["term", "n_docs", "docs_bin", "tfs_bin", "dls_bin",
-                "max_tf", "min_dl", "min_tf", "max_dl", "max_score"]
+                "max_tf", "min_dl", "max_score"]
         buckets = sorted({bucket_of(t, self.n_buckets) for t in terms})
         filt = (ds.field("bucket").isin(buckets)
                 & (ds.field("field") == field_id)
@@ -285,13 +279,10 @@ class LocalSearcher:
             dbin = tbl.column("docs_bin").to_pylist()
             tbin = tbl.column("tfs_bin").to_pylist()
             lbin = tbl.column("dls_bin").to_pylist()
-            # bounds recomputed after per-term df aggregation below (idf is
-            # a per-term constant; (max_tf, min_dl) / (min_tf, max_dl) are
-            # the stored dominating pairs)
+            # ub pairs recomputed after per-term df aggregation (idf is a
+            # per-term constant; (max_tf, min_dl) dominates any (tf, dl))
             ubp = list(zip(tbl.column("max_tf").to_pylist(),
                            tbl.column("min_dl").to_pylist()))
-            lbp = list(zip(tbl.column("min_tf").to_pylist(),
-                           tbl.column("max_dl").to_pylist()))
             mscol = tbl.column("max_score").to_pylist()
             for i, t in enumerate(tcol):
                 a = acc[t]
@@ -300,8 +291,56 @@ class LocalSearcher:
                 a["t"].append(tbin[i])
                 a["l"].append(lbin[i])
                 a["ub"].append(ubp[i])
-                a["lb"].append(lbp[i])
                 a["ms"].append(mscol[i])
+        return acc
+
+    def _theta_term(self, a: dict, df: float, k: int, n: float,
+                    avgdl: float) -> float:
+        """θ_t: the k-th largest REAL decoded per-term score among the
+        postings of t's best blocks by descending stored per-block MAX
+        REAL score (any posting subset yields a valid θ_t — adding
+        postings only raises the k-th largest — and the max_score
+        ordering provably finds the blocks holding the best real
+        postings; pairing-bound orderings picked near-arbitrary blocks
+        on uniform corpora and left θ loose). 0.0 when t has < k
+        postings in the selected blocks."""
+        order = np.argsort(-np.asarray(a["ms"], dtype=np.float64))
+        n_docs_t = np.asarray(a["n"], dtype=np.int64)[order]
+        cum = np.cumsum(n_docs_t)
+        take = int(np.searchsorted(cum, k) + 1)
+        sel = order[:take]
+        if int(n_docs_t[:take].sum()) < k:
+            return 0.0
+        tfs = codec.varbyte_decode(
+            b"".join(a["t"][i] for i in sel)).astype(np.float64)
+        dls = codec.varbyte_decode(
+            b"".join(a["l"][i] for i in sel)).astype(np.float64)
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        s = idf * tfs / (tfs + S.K1 * (1 - S.B + S.B * dls / avgdl))
+        return float(np.partition(s, s.size - k)[s.size - k])
+
+    @staticmethod
+    def _decode_kept(a: dict, keep: np.ndarray) -> tuple:
+        n_docs = np.asarray(a["n"], dtype=np.int64)[keep]
+        ids = codec.decode_positions(
+            b"".join(d for d, m in zip(a["d"], keep) if m), n_docs)
+        return (ids,
+                codec.varbyte_decode(
+                    b"".join(x for x, m in zip(a["t"], keep) if m)),
+                codec.varbyte_decode(
+                    b"".join(x for x, m in zip(a["l"], keep) if m)))
+
+    def _postings_arrays_pruned(self, terms: list[str], k: int,
+                                field_id: int = 0,
+                                prune_stats: dict | None = None) -> dict:
+        """Block-max WAND pruned postings — EXACT top-k (same θ derivation
+        and exactness argument as the engine, `engine.py` module docstring),
+        but in numpy over the already-fetched block metadata: θ costs
+        microseconds here, and pruned blocks skip the varbyte DECODE (the
+        dominant serving cost on hot terms). Never cached (the kept set
+        depends on k)."""
+        n, avgdl = self._field_stats("text" if field_id == 0 else "meta")
+        acc = self._block_meta(terms, field_id)
         k1, b = S.K1, S.B
         tfn = lambda tf, dl: tf / (tf + k1 * (1 - b + b * dl / avgdl))  # noqa: E731
         per_term = {}
@@ -311,52 +350,94 @@ class LocalSearcher:
             df = self._df(t, field_id, float(sum(a["n"])))
             idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
             ubs = np.array([idf * tfn(mt, md) for mt, md in a["ub"]])
-            lbs = np.array([idf * tfn(mt, md) for mt, md in a["lb"]])
-            per_term[t] = (a, df, ubs, lbs)
+            per_term[t] = (a, df, ubs)
         if not per_term:
             return {}
         mx = {t: float(v[2].max()) for t, v in per_term.items()}
         total = sum(mx.values())
         theta = 0.0
-        # θ_t from REAL decoded scores of the best blocks by descending
-        # stored per-block MAX REAL score (same argument as the engine: any
-        # posting subset yields a valid θ_t, and the max_score ordering
-        # provably finds the blocks holding the best real postings —
-        # pairing-bound orderings picked near-arbitrary blocks on uniform
-        # corpora and left θ loose)
-        for t, (a, df, ubs, lbs) in per_term.items():
-            order = np.argsort(-np.asarray(a["ms"], dtype=np.float64))
-            n_docs_t = np.asarray(a["n"], dtype=np.int64)[order]
-            cum = np.cumsum(n_docs_t)
-            take = int(np.searchsorted(cum, k) + 1)
-            sel = order[:take]
-            if int(n_docs_t[:take].sum()) < k:
-                continue
-            tfs = codec.varbyte_decode(
-                b"".join(a["t"][i] for i in sel)).astype(np.float64)
-            dls = codec.varbyte_decode(
-                b"".join(a["l"][i] for i in sel)).astype(np.float64)
-            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
-            s = idf * tfn(tfs, dls)
-            theta = max(theta,
-                        float(np.partition(s, s.size - k)[s.size - k]))
+        for t, (a, df, ubs) in per_term.items():
+            theta = max(theta, self._theta_term(a, df, k, n, avgdl))
         out, blocks_total, blocks_kept = {}, 0, 0
-        for t, (a, df, ubs, lbs) in per_term.items():
+        for t, (a, df, ubs) in per_term.items():
             other = total - mx[t]
             keep = (ubs + other) >= theta - 1e-12
             blocks_total += keep.size
             blocks_kept += int(keep.sum())
             if not keep.any():
                 continue
-            n_docs = np.asarray(a["n"], dtype=np.int64)[keep]
-            ids = codec.decode_positions(
-                b"".join(d for d, m in zip(a["d"], keep) if m), n_docs)
-            out[t] = (ids,
-                      codec.varbyte_decode(
-                          b"".join(x for x, m in zip(a["t"], keep) if m)),
-                      codec.varbyte_decode(
-                          b"".join(x for x, m in zip(a["l"], keep) if m)),
-                      df)
+            ids, tfs, dls = self._decode_kept(a, keep)
+            out[t] = (ids, tfs, dls, df)
+        if prune_stats is not None:
+            prune_stats.update(theta=theta, blocks_total=blocks_total,
+                               blocks_kept=blocks_kept)
+        return out
+
+    def _dismax_pruned(self, terms: list[str], k: int, boosts: dict,
+                       prune_stats: dict | None = None) -> dict:
+        """Serving-side block-max WAND for boosted multi-field dis_max
+        (round-3 VERDICT item 7) -> {field_id: {term: (ids, tfs, dls,
+        df)}} with only the blocks that can influence the top-k decoded.
+
+        θ = max over (field f, term t) of boost_f · θ_ft, where θ_ft is the
+        k-th largest REAL decoded per-(f,t) score (those k docs' dis_max
+        scores are ≥ boost_f·s_f ≥ boost_f·θ_ft, so θ lower-bounds the true
+        k-th best dis_max score). A block (f,t,b) is pruned iff its
+        per-doc dis_max bound
+        ``max(boost_f·(ub_f(t,b) + other_f(t)), cross_f)`` < θ, with
+        ``other_f(t) = Σ_{t'≠t} mx_f(t')`` and
+        ``cross_f = max_{f'≠f} boost_f'·total_f'`` — the second component
+        covers docs whose dis_max winner is ANOTHER field (for such a doc
+        x with dis_max(x) = boost_f*·s_f*(x) ≤ boost_f*·total_f* ≤
+        cross_f, every block of f containing x keeps). Hence any doc with
+        true dis_max ≥ θ keeps ALL its blocks in ALL fields and scores
+        exactly; ≥ k docs clear θ, so the top-k is unchanged — the same
+        exactness argument as single-field WAND with a per-field clause.
+        In practice cross_f is 0 when the query terms miss the other
+        field's vocabulary (the common text-vs-meta case), which is what
+        lets text blocks prune."""
+        from ..indexing.build import FIELD_NAMES
+        k1, b = S.K1, S.B
+        stats, per = {}, {}
+        for fid, boost in boosts.items():
+            n, avgdl = self._field_stats(FIELD_NAMES[fid])
+            stats[fid] = (n, avgdl, float(boost))
+            acc = self._block_meta(terms, fid)
+            tfn = lambda tf, dl: tf / (tf + k1 * (1 - b + b * dl / avgdl))  # noqa: E731
+            for t, a in acc.items():
+                if not a["n"]:
+                    continue
+                df = self._df(t, fid, float(sum(a["n"])))
+                idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+                ubs = np.array([idf * tfn(mt, md) for mt, md in a["ub"]])
+                per[(fid, t)] = (a, df, ubs)
+        if not per:
+            return {}
+        mx = {key: float(v[2].max()) for key, v in per.items()}
+        total_f: dict = {}
+        for (fid, _t), v in mx.items():
+            total_f[fid] = total_f.get(fid, 0.0) + v
+        theta = 0.0
+        for (fid, t), (a, df, ubs) in per.items():
+            n, avgdl, boost = stats[fid]
+            theta = max(theta, boost * self._theta_term(a, df, k, n, avgdl))
+        out: dict = {fid: {} for fid in total_f}
+        blocks_total = blocks_kept = 0
+        for (fid, t), (a, df, ubs) in per.items():
+            n, avgdl, boost = stats[fid]
+            other = total_f[fid] - mx[(fid, t)]
+            cross = max((stats[f2][2] * total_f[f2]
+                         for f2 in total_f if f2 != fid), default=0.0)
+            if cross >= theta - 1e-12:
+                keep = np.ones(ubs.size, dtype=bool)
+            else:
+                keep = (boost * (ubs + other)) >= theta - 1e-12
+            blocks_total += keep.size
+            blocks_kept += int(keep.sum())
+            if not keep.any():
+                continue
+            ids, tfs, dls = self._decode_kept(a, keep)
+            out[fid][t] = (ids, tfs, dls, df)
         if prune_stats is not None:
             prune_stats.update(theta=theta, blocks_total=blocks_total,
                                blocks_kept=blocks_kept)
@@ -430,21 +511,37 @@ class LocalSearcher:
         return self._hydrate(rows) if hydrate else rows
 
     def dismax_topk(self, query: str, k: int = 20, *,
-                    boosts: dict | None = None, hydrate: bool = True):
+                    boosts: dict | None = None, hydrate: bool = True,
+                    prune: bool = False,
+                    prune_stats: dict | None = None):
         """Boosted multi-field dis_max top-k — exact parity with the Spark
         engine's :func:`planet_search_spark.queries.engine.dismax_topk`:
         per field f, s_f = summed BM25 under f's OWN corpus stats;
-        score = max_f boost_f * s_f (tie_breaker 0.0)."""
+        score = max_f boost_f * s_f (tie_breaker 0.0). ``prune=True``
+        enables serving-side block-max WAND (:meth:`_dismax_pruned` —
+        exact, same results)."""
         from ..indexing.build import FIELDS, FIELD_BOOSTS
         boosts = boosts or FIELD_BOOSTS
         terms = sorted(set(A.py_tokens(query)))
         if not terms:
             return []
+        pruned = (self._dismax_pruned(
+            terms, k, {FIELDS[f]: float(b) for f, b in boosts.items()},
+            prune_stats) if prune else None)
         per_doc: dict = {}
         for fname, boost in boosts.items():
             fid = FIELDS[fname]
             n, avgdl = self._field_stats(fname)
-            posts = self._postings_arrays(terms, fid)
+            if pruned is not None:
+                posts = {t: (ids, tfs, dls)
+                         for t, (ids, tfs, dls, _df)
+                         in (pruned.get(fid) or {}).items()}
+                dfs = {t: _df for t, (_i, _t2, _d, _df)
+                       in (pruned.get(fid) or {}).items()}
+            else:
+                posts = self._postings_arrays(terms, fid)
+                dfs = {t: self._df(t, fid, float(p[0].size))
+                       for t, p in posts.items()}
             if not posts:
                 continue
             all_ids = np.concatenate([p[0] for p in posts.values()])
@@ -454,7 +551,7 @@ class LocalSearcher:
                 idx = np.searchsorted(uniq, ids)
                 np.add.at(s_f, idx, self._term_score(
                     tfs.astype(np.float64), dls.astype(np.float64),
-                    self._df(_t, fid, float(ids.size)), n, avgdl))
+                    dfs[_t], n, avgdl))
             boosted = float(boost) * s_f
             for d, v in zip(uniq.tolist(), boosted.tolist()):
                 if v > per_doc.get(d, -1.0):
@@ -928,12 +1025,29 @@ class ShardedSearcher:
     candidate set) are the real thing — coordinator memory is O(shards·k).
     """
 
-    def __init__(self, out_dir: str, n_shards: int = 2):
+    def __init__(self, out_dir: str, n_shards: int = 2, *,
+                 parallel: bool = True):
         with open(os.path.join(out_dir, "live.json")) as f:
             live = json.load(f)["segments"]
         n_shards = max(1, min(n_shards, len(live)))
         assign = [live[i::n_shards] for i in range(n_shards)]
         self.shards = [LocalSearcher(out_dir, segments=a) for a in assign]
+        # concurrent shard fan-out (round-3 VERDICT item 3): pyarrow
+        # parquet reads and the numpy scoring kernels release the GIL, so
+        # a thread per shard overlaps the per-shard IO+decode exactly like
+        # ES's concurrent shard fan-out; the coordinator merge below is
+        # the same either way
+        self._pool = None
+        if parallel and len(self.shards) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(
+                max_workers=len(self.shards),
+                thread_name_prefix="shard")
+
+    def _fan(self, fn) -> list:
+        if self._pool is None:
+            return [fn(s) for s in self.shards]
+        return list(self._pool.map(fn, self.shards))
 
     @staticmethod
     def _merge(parts: list, k: int, keys=("score", "doc_id")):
@@ -943,24 +1057,31 @@ class ShardedSearcher:
 
     def bm25_topk(self, query: str, k: int = 20, *, hydrate: bool = True,
                   prune: bool = False, require_all: bool = False):
-        return self._merge(
-            [s.bm25_topk(query, k, hydrate=hydrate, prune=prune,
-                         require_all=require_all) for s in self.shards], k)
+        return self._merge(self._fan(
+            lambda s: s.bm25_topk(query, k, hydrate=hydrate, prune=prune,
+                                  require_all=require_all)), k)
 
-    def dismax_topk(self, query: str, k: int = 20, *, hydrate: bool = True):
-        return self._merge(
-            [s.dismax_topk(query, k, hydrate=hydrate)
-             for s in self.shards], k)
+    def dismax_topk(self, query: str, k: int = 20, *, hydrate: bool = True,
+                    prune: bool = False):
+        return self._merge(self._fan(
+            lambda s: s.dismax_topk(query, k, hydrate=hydrate,
+                                    prune=prune)), k)
 
     def search(self, params):
         # per-doc scores depend only on global stats + the doc itself, so
         # a doc's score is identical in its shard and in the unsharded
         # searcher; merging per-shard top-k is exact
-        return self._merge([s.search(params) for s in self.shards],
-                           params.k)
+        return self._merge(self._fan(lambda s: s.search(params)), params.k)
 
     def phrase_match(self, phrase: str, *, hydrate: bool = False):
-        rows = [r for s in self.shards
-                for r in s.phrase_match(phrase, hydrate=hydrate)]
+        rows = [r for p in self._fan(
+            lambda s: s.phrase_match(phrase, hydrate=hydrate)) for r in p]
+        rows.sort(key=lambda r: r["doc_id"])
+        return rows
+
+    def phrase_prefix_match(self, phrase: str, *, hydrate: bool = False):
+        rows = [r for p in self._fan(
+            lambda s: s.phrase_prefix_match(phrase, hydrate=hydrate))
+            for r in p]
         rows.sort(key=lambda r: r["doc_id"])
         return rows

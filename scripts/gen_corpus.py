@@ -256,6 +256,39 @@ def build_cases() -> list[dict]:
     add("DEGEN-01", "error, timeout; retry.", operator="or")
     add("DEGEN-02", "123 456", operator="or")
     add("DEGEN-03", "a", operator="or")
+    # 30. Hebrew / folding END-TO-END (round-4 VERDICT item 5): B1-B3
+    #     exercised through indexing -> query -> rank, with each doc-side
+    #     token queried in BOTH its raw and its folded surface form —
+    #     niqqud strip (שָׁלוֹם == שלום), doubled-vav/yod matres fold
+    #     (וואדי == ואדי, מיים == מים), apostrophe/geresh fold
+    #     (Pike's == pikes, O’Brien == obrien) — across the query
+    #     dimensions (the reference corpus is largely Hebrew,
+    #     search-relevance-cases.json).
+    heb = [("שָׁלוֹם", "שלום"), ("ירוּשָׁלַיִם", "ירושלים"),
+           ("וואדי", "ואדי"), ("מיים", "מים")]
+    for i, (raw, folded) in enumerate(heb):
+        add(f"HEB-RAW-{i:02d}", raw)
+        add(f"HEB-FOLD-{i:02d}", folded)
+        # both forms analyze to ONE term, so AND over the pair must
+        # return exactly the single-term result set
+        add(f"HEB-BOTH-AND-{i:02d}", f"{raw} {folded}", operator="and")
+        add(f"HEB-REC-{i:02d}", folded, recency=True)
+        add(f"HEB-MF-{i:02d}", raw, multifield=True)
+    add("HEB-PAIR-OR-00", "שלום ירושלים", operator="or")
+    add("HEB-PAIR-OR-01", "שָׁלוֹם ירוּשָׁלַיִם", operator="or")
+    add("HEB-PAIR-AND-00", "ואדי מים", operator="and")
+    add("HEB-PREFIX-00", "ירוש", prefix=True)
+    add("HEB-PREFIX-01", "של", prefix=True)
+    add("HEB-PREFIX-02", "וא", prefix=True)
+    add("HEB-FUZZY-00", "שלוםם", fuzzy=True)   # 1-edit back to שלום
+    add("HEB-FUZZY-01", "ירושלם", fuzzy=True)  # dropped yod, ed=1
+    add("HEB-EXACT-FOLD-00", "שלום", exact=True)   # kw fold: raw-doc match
+    add("HEB-FILT-00", "שלום", filterRole="user")
+    add("HEB-TIERS-00", "שלום ואדי", phraseTiers=True)
+    add("APOS-FOLD-00", "pikes")        # doc side holds Pike's
+    add("APOS-FOLD-01", "obrien")       # doc side holds O’Brien
+    add("APOS-FOLD-02", "okina")        # doc side holds ʼokina
+    add("APOS-RAW-00", "Pike's obrien", operator="or")
     return c
 
 
@@ -318,6 +351,11 @@ def add_trio_cases(cases: list[dict], bf: BruteForceIndex) -> None:
         ("shufle", {"fuzzy": True, "recency": True}),
         ("heap score", {"operator": "and"}),
         ("user search", {"multifield": True, "recency": True}),
+        # round-4: Hebrew folding through the pass-criterion trio — the
+        # folded query form must retrieve raw niqqud/matres documents
+        ("שלום", {}), ("ירושלים", {}), ("ואדי מים", {}),
+        ("שלום", {"recency": True}), ("ירושלים", {"multifield": True}),
+        ("של", {"prefix": True}),
     ]
     for i, (q, kw) in enumerate(trio_qs):
         rows = top(q, **kw)

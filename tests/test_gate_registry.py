@@ -1,0 +1,45 @@
+"""Driver-gate registry invariants (round-3 VERDICT item 9): the driver
+records only the FIRST 50 ``queries()`` entries, so every load-bearing
+operator query must sit in the head and only the trivially-green
+column-math ops may spill past the cap."""
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import __spark_entry__ as SE  # noqa: E402
+
+DRIVER_CAP = 50
+
+
+def test_registry_tail_is_only_trivial_ops():
+    names = list(SE.queries())
+    # a future registration must not silently push a load-bearing query
+    # past the driver's 50-row cap: everything beyond the cap has to be
+    # one of the explicitly designated trivial gate-tail ops
+    overflow = names[DRIVER_CAP:]
+    assert set(overflow) <= set(SE._GATE_TAIL), (
+        f"non-trivial queries pushed past the driver cap: "
+        f"{sorted(set(overflow) - set(SE._GATE_TAIL))}; grow _GATE_TAIL "
+        f"deliberately or reorder")
+    # the head must not waste capped slots on designated-tail ops
+    assert not set(names[:DRIVER_CAP - len(SE._GATE_TAIL)]) \
+        & set(SE._GATE_TAIL)
+
+
+def test_every_query_has_an_oracle_or_is_known_weak():
+    q = SE.queries()
+    o = SE.oracle_sql()
+    assert set(o) <= set(q)
+    # every registered query currently carries a full DuckDB oracle; if a
+    # genuinely non-SQL-expressible op is ever added, list it here
+    assert set(q) == set(o), sorted(set(q) - set(o))
+
+
+def test_queries_and_oracles_are_callable_and_strings():
+    q = SE.queries()
+    assert all(callable(f) for f in q.values())
+    assert all(isinstance(s, str) and s.strip() for s in
+               SE.oracle_sql().values())

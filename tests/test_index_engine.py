@@ -26,9 +26,11 @@ def corpus(spark):
 @pytest.fixture(scope="module")
 def index_dir(spark, corpus, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("idx"))
-    # tiny salt_target + small blocks to exercise salting & multi-block terms
+    # tiny salt_target + small blocks to exercise salting & multi-block
+    # terms; impact_order=False: this fixture is the DOC-ORDERED control
+    # the impact-layout tests compare against (impact is the build default)
     m = build_index(spark, corpus, out, n_buckets=8, block_size=16,
-                    salt_target=64, n_groups=3)
+                    salt_target=64, n_groups=3, impact_order=False)
     assert m["n_docs"] > 0 and m["n_terms"] > 0
     return out
 

@@ -102,3 +102,23 @@ def test_dismax_multifield_plan_shape(spark, small_index):
     assert "In(term" in pushed
     assert "Join" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_search_plan_hydrates_strings_above_topk_only(spark, small_index):
+    """Round-3 VERDICT #1 done-criterion: below the top-k, the full
+    search() plan must touch NO stored string column except kw_hash — the
+    candidate-set join reads the narrow (doc_id, prior, ts, kw_hash)
+    doc-values projection; conv_id/role/tool hydrate only the k winners
+    via a broadcast join ABOVE the TakeOrderedAndProject."""
+    from planet_search_spark.queries.params import SearchParams
+    df = E.search(spark, small_index,
+                  SearchParams(query="error timeout", multifield=True,
+                               phrase_tiers=True, recency=True, k=5))
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    head, below = plan.split("TakeOrderedAndProject", 1)
+    # subtree below the top-k heap: scoring + narrow doc values only
+    assert "conv_id" not in below
+    # winners hydrate via a broadcast join above the heap
+    assert "conv_id" in head
+    assert "BroadcastHashJoin" in head or "BroadcastNestedLoopJoin" in head
