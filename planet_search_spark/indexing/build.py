@@ -195,7 +195,10 @@ def _encode_stream_fn(field_stats: dict, block_size: int,
             "max_score": np.maximum.reduceat(scores, rs),
             # per-block (max_tf, min_dl) -> upper bound, (min_tf, max_dl)
             # -> lower bound; both recomputable under *global* corpus stats
-            # by multi-segment readers (WAND θ needs the lower bound)
+            # by multi-segment readers. θ now derives from real decoded
+            # scores (max_score-ordered blocks), so the lower-bound pair is
+            # currently unread — retained (16 B/block) for min-score skip
+            # strategies and old-reader compatibility
             "max_tf": np.maximum.reduceat(tfs, rs).astype(np.float64),
             "min_dl": np.minimum.reduceat(dls, rs).astype(np.float64),
             "min_tf": np.minimum.reduceat(tfs, rs).astype(np.float64),
