@@ -1,0 +1,154 @@
+"""Custom stateful streaming operator (applyInPandasWithState): streaming
+exact-dedup must equal the batch first-occurrence oracle, suppress
+duplicates ACROSS triggers, and keep suppressing after a checkpoint
+restart (exactly-once state)."""
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from planet_search_spark.streaming.stateful import (content_key_col,
+                                                    dedup_stream,
+                                                    run_dedup_stream)
+from planet_search_spark.transcripts import synthesize_transcripts
+
+
+def _write_one_file(df, path):
+    df.coalesce(1).write.mode("overwrite").parquet(path + "_tmp")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    import shutil
+    for fn in os.listdir(path + "_tmp"):
+        if fn.endswith(".parquet"):
+            shutil.copy(os.path.join(path + "_tmp", fn), path)
+            break
+    shutil.rmtree(path + "_tmp")
+
+
+def _batch_oracle(spark, dfs):
+    """First occurrence per content key under file-arrival order then
+    (conv_id, turn_idx) — computed independently with batch Spark."""
+    from pyspark.sql.window import Window
+    union = None
+    for i, d in enumerate(dfs):
+        d = d.withColumn("_file", F.lit(i))
+        union = d if union is None else union.unionByName(d)
+    keyed = union.withColumn("content_key", content_key_col())
+    w = Window.partitionBy("content_key").orderBy(
+        "_file", "conv_id", "turn_idx")
+    return (keyed.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1).drop("_rn", "_file"))
+
+
+@pytest.fixture()
+def batches(spark):
+    a = synthesize_transcripts(spark, n_convs=10, seed=201).where(
+        F.length("text") > 0)
+    # b REPLAYS half of a's texts under new conv ids (cross-file dups) and
+    # adds fresh rows; c replays rows from both earlier files
+    b = a.where(F.col("turn_idx") % 2 == 0) \
+         .selectExpr("concat('dup_', conv_id) AS conv_id", "turn_idx",
+                     "role", "text", "tool", "ts") \
+         .unionByName(
+             synthesize_transcripts(spark, n_convs=4, seed=202)
+             .where(F.length("text") > 0)
+             .selectExpr("concat('new_', conv_id) AS conv_id", "turn_idx",
+                         "role", "text", "tool", "ts"))
+    c = a.limit(20).selectExpr("concat('late_', conv_id) AS conv_id",
+                               "turn_idx", "role", "text", "tool", "ts")
+    return a, b, c
+
+
+def _keys(df):
+    return sorted(r["content_key"] for r in
+                  df.select("content_key").distinct().collect())
+
+
+def test_stream_dedup_equals_batch_first_occurrence(spark, tmp_path,
+                                                    batches):
+    a, b, c = batches
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir, exist_ok=True)
+    for i, d in enumerate([a, b, c]):
+        _write_one_file(d, f"{in_dir}/f{i}.parquet")
+    q = run_dedup_stream(spark, in_dir, "dedup_t1",
+                         checkpoint=str(tmp_path / "ckpt"),
+                         max_files_per_trigger=1)
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM dedup_t1")
+    want = _batch_oracle(spark, [a, b, c])
+    # one row per distinct key, and the key sets agree with the oracle
+    assert got.count() == got.select("content_key").distinct().count()
+    assert _keys(got) == _keys(want)
+    # spot-check the kept ROW for keys that were duplicated across files:
+    # it must be the earliest-file occurrence (never a dup_/late_ conv)
+    dup_keys = (want.withColumn("dup", F.col("conv_id").startswith("dup_"))
+                .groupBy("content_key").agg(F.max("dup").alias("any_dup")))
+    joined = (got.join(dup_keys, "content_key")
+              .where(F.col("any_dup")))
+    assert joined.count() == 0 or all(
+        not r["conv_id"].startswith(("dup_", "late_"))
+        for r in joined.collect())
+
+
+def test_stream_dedup_state_survives_restart(spark, tmp_path, batches):
+    a, b, c = batches
+    in_dir = str(tmp_path / "in2")
+    os.makedirs(in_dir, exist_ok=True)
+    _write_one_file(a, f"{in_dir}/f0.parquet")
+    ckpt = str(tmp_path / "ckpt2")
+    sink = str(tmp_path / "sink2")
+    q = run_dedup_stream(spark, in_dir, "dedup_t2a", checkpoint=ckpt,
+                         sink_path=sink)
+    q.awaitTermination(120)
+    first = spark.read.parquet(sink)
+    n_first = first.count()
+    assert n_first > 0
+    # RESTART the query against the same checkpoint + sink with a new
+    # file that replays old content + adds genuinely new rows: only the
+    # new keys may emit (state recovered from the checkpoint)
+    _write_one_file(c, f"{in_dir}/f1.parquet")      # pure replay of a
+    fresh = synthesize_transcripts(spark, n_convs=3, seed=203) \
+        .where(F.length("text") > 0) \
+        .selectExpr("concat('v2_', conv_id) AS conv_id", "turn_idx",
+                    "role", "text", "tool", "ts")
+    _write_one_file(fresh, f"{in_dir}/f2.parquet")
+    q2 = run_dedup_stream(spark, in_dir, "dedup_t2b", checkpoint=ckpt,
+                          sink_path=sink)
+    q2.awaitTermination(120)
+    out = spark.read.parquet(sink)
+    emitted = out.join(first.select("content_key"), "content_key",
+                       "left_anti")     # rows added by the second run
+    # nothing from the replay file survived the recovered state
+    assert emitted.where(F.col("conv_id").startswith("late_")).count() == 0
+    a_keys = set(_keys(a.withColumn("content_key", content_key_col())))
+    for r in emitted.collect():
+        assert r["content_key"] not in a_keys, r["conv_id"]
+    # and the second run DID add the genuinely new keys
+    assert emitted.count() > 0
+    # global invariant after both runs: one row per key
+    assert out.count() == out.select("content_key").distinct().count()
+
+
+def test_dedup_stream_is_append_only_one_row_per_key(spark, tmp_path):
+    rows = [("c1", 0, "user", "same text here", None, 1_767_225_600),
+            ("c1", 1, "user", "same text here", None, 1_767_225_601),
+            ("c2", 0, "user", "SAME   text, here!", None, 1_767_225_602),
+            ("c3", 0, "user", "different text", None, 1_767_225_603)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, epoch bigint") \
+        .withColumn("ts", F.timestamp_seconds("epoch")).drop("epoch")
+    in_dir = str(tmp_path / "in3")
+    os.makedirs(in_dir, exist_ok=True)
+    _write_one_file(df, f"{in_dir}/f0.parquet")
+    q = run_dedup_stream(spark, in_dir, "dedup_t3",
+                         checkpoint=str(tmp_path / "ckpt3"))
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM dedup_t3").collect()
+    # normalization folds case/punct/whitespace: c1/c2 rows are ONE key
+    assert len(got) == 2
+    kept = {r.conv_id for r in got}
+    assert kept == {"c1", "c3"}   # (conv_id, turn_idx)-argmin kept
+    assert all(r.dup_rank == 0 for r in got)
