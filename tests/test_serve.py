@@ -377,3 +377,39 @@ def test_sharded_full_surface_parity(spark, index_dir):
     want = single.search(p)
     assert [(g["doc_id"], round(g["score"], 10)) for g in got] == \
            [(w["doc_id"], round(w["score"], 10)) for w in want]
+
+
+def test_serve_dense_accumulation_matches_engine(spark, tmp_path):
+    """Round-4 dense scoring path: on a gap-free-id corpus (no empty
+    docs) a hot query crosses the mass gate and scores through the dense
+    doc-indexed accumulator — results must be EXACTLY the engine's (and
+    the sparse path's)."""
+    from pyspark.sql import functions as F
+    from planet_search_spark.queries.params import SearchParams
+    rows = [(f"c{i % 7}", i // 7, "user",
+             f"alpha beta {'gamma' if i % 3 else 'delta'} t{i % 11}",
+             "search" if i % 5 == 0 else None, 1_767_225_600 + i)
+            for i in range(400)]
+    tx = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, epoch bigint") \
+        .withColumn("ts", F.timestamp_seconds("epoch")).drop("epoch")
+    out = str(tmp_path / "denseidx")
+    build_index(spark, tx, out, n_buckets=4, block_size=16, n_groups=1)
+    srv = LocalSearcher(out)
+    p = SearchParams(query="alpha gamma", multifield=True,
+                     phrase_tiers=True, recency=True, k=15)
+    got = srv.search(p)
+    # the dense branch is reachable: ids are gap-free and the query mass
+    # covers the corpus
+    assert srv._dv_dense is True
+    want = [r.asDict() for r in E.search(spark, out, p).collect()]
+    assert [(g["doc_id"], round(g["score"], 10)) for g in got] == \
+           [(w["doc_id"], round(w["score"], 10)) for w in want]
+    # AND + filters exercise the dense mask composition
+    p2 = SearchParams(query="alpha beta", operator="and", multifield=True,
+                      filter_tool="search", recency=True, k=10)
+    got2 = srv.search(p2)
+    want2 = [r.asDict() for r in E.search(spark, out, p2).collect()]
+    assert [(g["doc_id"], round(g["score"], 10)) for g in got2] == \
+           [(w["doc_id"], round(w["score"], 10)) for w in want2]
