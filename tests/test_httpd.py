@@ -107,3 +107,42 @@ def test_http_coordinator_retries_then_fails_on_dead_shard(http_index):
     coord = HttpShardedSearcher([url], timeout=2.0, retries=1)
     with pytest.raises(RuntimeError, match="after 2 attempts"):
         coord.bm25_topk("error", k=3)
+
+
+def test_http_relevance_corpus_parity(http_index):
+    """The reference drives its relevance corpus through a production
+    HTTP API (SearchRelevanceTest.java:55-127). Same shape here: a slice
+    of the declarative corpus (every dimension + all Hebrew cases) runs
+    through in-thread shard daemons + the HTTP coordinator and must
+    answer byte-identically to the in-process searcher."""
+    import json as _json
+    from pathlib import Path
+    cases = _json.loads(
+        (Path(__file__).resolve().parents[1] / "fixtures" /
+         "queries.json").read_text())
+    picked = [c for c in cases if c["id"].startswith(("HEB", "APOS"))]
+    picked += cases[:25]
+    daemons = []
+    try:
+        with open(os.path.join(http_index, "live.json")) as f:
+            live = _json.load(f)["segments"]
+        for seg in live:
+            daemons.append(SearchDaemon(http_index, segments=[seg]).start())
+        coord = HttpShardedSearcher([d.url for d in daemons])
+        single = LocalSearcher(http_index)
+        for c in picked:
+            p = SearchParams(
+                query=c["query"], operator=c.get("operator", "or"),
+                prefix=c.get("prefix", False), fuzzy=c.get("fuzzy", False),
+                exact=c.get("exact", False),
+                filter_role=c.get("filterRole"),
+                filter_tool=c.get("filterTool"),
+                recency=c.get("recency", False),
+                multifield=c.get("multifield", False),
+                phrase_tiers=c.get("phraseTiers", False),
+                k=c.get("k", 20))
+            assert _pairs(coord.search(p)) == _pairs(single.search(p)), \
+                c["id"]
+    finally:
+        for d in daemons:
+            d.stop()
