@@ -19,6 +19,7 @@ import hashlib
 import json
 import math
 import os
+import threading
 from collections import OrderedDict
 
 import numpy as np
@@ -32,29 +33,38 @@ from ..indexing.build import bucket_of
 
 
 class _LRU(OrderedDict):
-    """Capped LRU mapping: ``get`` refreshes recency, ``put`` evicts the
-    oldest entry past the cap. Every serving cache uses this — an
-    admission-capped cache (insert only while below cap) pins the FIRST
-    working set forever: after a vocabulary/workload shift new hot keys
-    never enter and every query re-scans parquet."""
+    """Capped THREAD-SAFE LRU mapping: ``get`` refreshes recency, ``put``
+    evicts the oldest entry past the cap. Every serving cache uses this —
+    an admission-capped cache (insert only while below cap) pins the
+    FIRST working set forever: after a vocabulary/workload shift new hot
+    keys never enter and every query re-scans parquet.
+
+    The lock matters because one ``LocalSearcher`` serves CONCURRENT
+    queries (ThreadingHTTPServer handler threads, ShardedSearcher pool):
+    an unlocked ``move_to_end`` can race a concurrent ``popitem`` of the
+    same key and raise KeyError mid-query. Critical sections are
+    microseconds (dict ops only — parquet reads happen outside)."""
 
     def __init__(self, cap: int):
         super().__init__()
         self.cap = cap
+        self._lock = threading.Lock()
 
     def get(self, key, default=None):
-        try:
-            val = self[key]
-        except KeyError:
-            return default
-        self.move_to_end(key)
-        return val
+        with self._lock:
+            try:
+                val = self[key]
+            except KeyError:
+                return default
+            self.move_to_end(key)
+            return val
 
     def put(self, key, val):
-        self[key] = val
-        self.move_to_end(key)
-        while len(self) > self.cap:
-            self.popitem(last=False)
+        with self._lock:
+            self[key] = val
+            self.move_to_end(key)
+            while len(self) > self.cap:
+                self.popitem(last=False)
 
 
 def _in_sorted(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
@@ -135,8 +145,7 @@ class LocalSearcher:
         # are pyarrow point reads — each doc_store file covers a contiguous
         # doc_id range (ids are monotone in the build's range partitioning),
         # so an id filter prunes to ~1 fragment per requested doc
-        self._doc_cache: "OrderedDict[int, dict]" = OrderedDict()
-        self._doc_cache_cap = 1 << 16
+        self._doc_cache = _LRU(1 << 16)
         # non-scoring filter bitsets (role/tool/kw_hash -> doc_id arrays)
         # plus prefix/fuzzy expansion lists and shard gdf lookups — the ES
         # filter-cache analogue. Bounded: per-query ('kw', hash) entries
@@ -151,7 +160,8 @@ class LocalSearcher:
         # (ES keeps exactly these columns hot for the same reason).
         self._doc_values_cache = None
         self._dv_dense = False
-        self._phrase_cache: "OrderedDict[tuple, np.ndarray]" = OrderedDict()
+        self._dv_lock = threading.Lock()
+        self._phrase_cache = _LRU(256)
 
     # -- postings ------------------------------------------------------------
 
@@ -647,11 +657,7 @@ class LocalSearcher:
                     break
                 cand = cand[_in_sorted(cand + i, keys[t])]
             doc_ids = np.unique(cand // self._POS_SHIFT)
-            self._phrase_cache[ck] = doc_ids
-            while len(self._phrase_cache) > 256:
-                self._phrase_cache.popitem(last=False)
-        else:
-            self._phrase_cache.move_to_end(ck)
+            self._phrase_cache.put(ck, doc_ids)
         out = [{"doc_id": int(d)} for d in doc_ids]
         return self._hydrate(out) if hydrate else out
 
@@ -688,11 +694,7 @@ class LocalSearcher:
                 if cand.size:
                     cand = cand[_in_sorted(cand + (len(terms) - 1), last)]
                 doc_ids = np.unique(cand // self._POS_SHIFT)
-            self._phrase_cache[ck] = doc_ids
-            while len(self._phrase_cache) > 256:
-                self._phrase_cache.popitem(last=False)
-        else:
-            self._phrase_cache.move_to_end(ck)
+            self._phrase_cache.put(ck, doc_ids)
         out = [{"doc_id": int(d)} for d in doc_ids]
         return self._hydrate(out) if hydrate else out
 
@@ -884,7 +886,13 @@ class LocalSearcher:
     # -- numeric doc values (scoring side) -----------------------------------
 
     def _doc_values(self):
-        """doc_id-sorted (ids, prior, ts_epoch) numpy arrays, lazy."""
+        """doc_id-sorted (ids, prior, ts_epoch) numpy arrays, lazy; the
+        lock keeps concurrent first-queries from each building the full
+        array set (idempotent but O(N) wasted work and 2× peak RAM)."""
+        with self._dv_lock:
+            return self._doc_values_locked()
+
+    def _doc_values_locked(self):
         if self._doc_values_cache is None:
             ids_p, pr_p, ts_p = [], [], []
             for st in self._stores:
@@ -916,7 +924,6 @@ class LocalSearcher:
             d = int(d)
             hit = self._doc_cache.get(d)
             if hit is not None:
-                self._doc_cache.move_to_end(d)
                 out[d] = hit
             else:
                 missing.append(d)
@@ -936,9 +943,7 @@ class LocalSearcher:
                     del r["ts"]
                     d = int(r.pop("doc_id"))
                     out[d] = r
-                    self._doc_cache[d] = r
-            while len(self._doc_cache) > self._doc_cache_cap:
-                self._doc_cache.popitem(last=False)
+                    self._doc_cache.put(d, r)
         return out
 
     def _hydrate(self, rows):

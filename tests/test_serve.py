@@ -210,7 +210,7 @@ def test_serve_hydration_is_bounded(index_dir):
     assert len(srv._doc_cache) == 0
     rows = srv.bm25_topk("error timeout retry", k=5)
     assert rows and all("conv_id" in r for r in rows)
-    assert len(srv._doc_cache) <= srv._doc_cache_cap
+    assert len(srv._doc_cache) <= srv._doc_cache.cap
     assert len(srv._doc_cache) < srv.n_docs  # never the whole store
 
 
@@ -297,7 +297,7 @@ def test_serve_caches_bounded_lru_and_late_hot_terms_cached(index_dir):
     srv._term_cache.cap = cap
     srv._pos_cache.cap = cap
     srv._filter_cache.cap = cap
-    srv._doc_cache_cap = cap
+    srv._doc_cache.cap = cap
     # soak: > cap distinct query strings (each inserts a ('kw', hash)
     # filter entry via the exact-tier path is skipped here, so hit the
     # caches directly through the public query surface)
@@ -413,3 +413,45 @@ def test_serve_dense_accumulation_matches_engine(spark, tmp_path):
     want2 = [r.asDict() for r in E.search(spark, out, p2).collect()]
     assert [(g["doc_id"], round(g["score"], 10)) for g in got2] == \
            [(w["doc_id"], round(w["score"], 10)) for w in want2]
+
+
+def test_serve_concurrent_queries_thread_safe(index_dir):
+    """One LocalSearcher serves CONCURRENT queries in production
+    (ThreadingHTTPServer handler threads / the sharded pool). With tiny
+    cache caps forcing constant eviction, 8 threads x mixed query types
+    must neither raise (the unlocked move_to_end/popitem race) nor ever
+    return anything but the serial answers."""
+    from concurrent.futures import ThreadPoolExecutor
+    from planet_search_spark.queries.params import SearchParams
+    srv = LocalSearcher(index_dir)
+    srv._term_cache.cap = 4
+    srv._pos_cache.cap = 4
+    srv._filter_cache.cap = 4
+    srv._doc_cache.cap = 8
+    srv._phrase_cache.cap = 2
+    queries = ["error timeout retry", "the data", "spark", "kitten sitting",
+               "zzznothing", "error zzznothing"]
+    p_full = SearchParams(query="error timeout", multifield=True,
+                          phrase_tiers=True, recency=True, k=10)
+    key = lambda rows: [(r["doc_id"], round(r["score"], 10))  # noqa: E731
+                        for r in rows]
+    serial = {q: key(srv.bm25_topk(q, k=10, hydrate=False))
+              for q in queries}
+    serial_full = key(srv.search(p_full))
+    serial_ph = [r["doc_id"] for r in srv.phrase_match("out of memory")]
+
+    def worker(i):
+        for j in range(12):
+            q = queries[(i + j) % len(queries)]
+            assert key(srv.bm25_topk(q, k=10, hydrate=False)) == serial[q]
+            if j % 3 == 0:
+                assert key(srv.search(p_full)) == serial_full
+            if j % 4 == 0:
+                assert [r["doc_id"] for r in
+                        srv.phrase_match("out of memory")] == serial_ph
+            if j % 5 == 0:
+                srv.bm25_topk(q, k=3, hydrate=True)   # doc-cache churn
+        return True
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        assert all(pool.map(worker, range(8)))
