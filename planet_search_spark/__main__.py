@@ -47,9 +47,10 @@ def main(argv: list[str] | None = None):
     b.add_argument("--segment", default="seg_1")
     b.add_argument("--resume", action="store_true")
     b.add_argument("--no-positions", action="store_true")
-    b.add_argument("--impact", action="store_true",
-                   help="impact-ordered block layout (WAND prunes even on "
-                        "uniform corpora)")
+    b.add_argument("--doc-ordered", action="store_true",
+                   help="disable the impact-ordered default layout "
+                        "(doc-ordered blocks; WAND then prunes only on "
+                        "skewed/clustered corpora)")
 
     s = sub.add_parser("search", help="BM25 top-k over a built index")
     s.add_argument("--index", required=True)
@@ -103,7 +104,25 @@ def main(argv: list[str] | None = None):
     gc.add_argument("--index", required=True)
     gc.add_argument("--grace-sec", type=float, default=3600.0)
 
+    sv = sub.add_parser("serve", help="HTTP serving daemon for one doc "
+                        "shard (NO Spark: the stateless pyarrow/numpy "
+                        "reader over the live segments)")
+    sv.add_argument("--index", required=True)
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=0,
+                    help="0 = pick a free port (printed as JSON)")
+    sv.add_argument("--segments", default=None,
+                    help="comma-separated segment subset (a doc shard)")
+
     args = p.parse_args(argv)
+    if args.cmd == "serve":      # serving never needs a SparkSession
+        from .queries.httpd import main as httpd_main
+        httpd_argv = [args.index, "--host", args.host,
+                      "--port", str(args.port)]
+        if args.segments:
+            httpd_argv += ["--segments", args.segments]
+        httpd_main(httpd_argv)
+        return
     spark = _spark()
     if args.cmd == "build":
         from .sources import read_transcripts
@@ -111,7 +130,8 @@ def main(argv: list[str] | None = None):
                               snapshot_id=args.snapshot_id)
         m = build_index(spark, tx, args.out, n_buckets=args.buckets,
                         n_groups=args.groups, resume=args.resume,
-                        segment=args.segment, impact_order=args.impact,
+                        segment=args.segment,
+                        impact_order=not args.doc_ordered,
                         with_positions=not args.no_positions)
         print(json.dumps(m))
     elif args.cmd == "search":
