@@ -453,12 +453,31 @@ class LocalSearcher:
                                blocks_kept=blocks_kept)
         return out
 
+    def _dense_info(self, total_mass: int):
+        """(base0, n) for the dense doc-indexed accumulator, or None when
+        the sparse path should run. Dense requires gap-free ids AND a hot
+        query (posting mass ≥ N/8): O(N) zeroing beats O(mass·log) merges
+        only when the candidate set approaches the corpus; ~10 B/doc
+        transient per query is the same O(N)-per-shard memory model the
+        numeric doc values already commit to."""
+        if 8 * total_mass < self.n_docs:
+            return None
+        dv_ids, _p, _t = self._doc_values()
+        if not self._dv_dense:
+            return None
+        return int(dv_ids[0]), dv_ids.size
+
     def bm25_topk(self, query: str, k: int = 20, *,
                   require_all: bool = False, hydrate: bool = True,
                   prune: bool = False, prune_stats: dict | None = None):
         """Exact BM25 top-k; identical results to the Spark engine path.
         ``prune=True`` enables serving-side block-max WAND (exact; disabled
-        under require_all — unsound for conjunctive results)."""
+        under require_all — unsound for conjunctive results). Pruning
+        trades CACHE REUSE for decode skipping: the pruned path refetches
+        block payloads per call (the kept set depends on k), so it wins on
+        cache-cold/diverse workloads over clustered corpora (measured 3-4×
+        in BENCH), while repeated identical hot queries are faster
+        unpruned from the warm term cache."""
         terms = sorted(set(A.py_tokens(query)))
         if prune and not require_all and terms:
             posts = self._postings_arrays_pruned(terms, k,
@@ -486,23 +505,46 @@ class LocalSearcher:
         posts = self._postings_arrays(terms) if terms else {}
         if not posts:
             return []
-        all_ids = np.concatenate([p[0] for p in posts.values()])
-        uniq = np.unique(all_ids)
-        scores = np.zeros(uniq.size)
-        nmatch = np.zeros(uniq.size, dtype=np.int32)
-        for t, (ids, tfs, dls) in posts.items():
-            idx = np.searchsorted(uniq, ids)
-            s = self._term_score(tfs.astype(np.float64),
-                                 dls.astype(np.float64),
-                                 self._df(t, 0, float(ids.size)))
-            np.add.at(scores, idx, s)
-            nmatch[idx] += 1
-        mask = np.ones(uniq.size, dtype=bool)
-        if require_all:
-            mask = nmatch >= len(terms)
-        cand = np.flatnonzero(mask)
-        if cand.size == 0:
-            return []
+        dense = self._dense_info(sum(p[0].size for p in posts.values()))
+        if dense is not None:
+            # hot query: accumulate straight into doc-indexed arrays —
+            # per-term ids are unique, so plain fancy indexing, no add.at
+            base0, n_dv = dense
+            scores_d = np.zeros(n_dv)
+            nmatch_d = np.zeros(n_dv, dtype=np.int32)
+            for t, (ids, tfs, dls) in posts.items():
+                s = self._term_score(tfs.astype(np.float64),
+                                     dls.astype(np.float64),
+                                     self._df(t, 0, float(ids.size)))
+                ix = ids - base0
+                scores_d[ix] += s
+                nmatch_d[ix] += 1
+            cand = np.flatnonzero(
+                nmatch_d >= (len(terms) if require_all else 1))
+            if cand.size == 0:
+                return []
+            uniq = cand + base0
+            scores = scores_d[cand]
+            nmatch = nmatch_d[cand]
+            cand = np.arange(uniq.size)
+        else:
+            all_ids = np.concatenate([p[0] for p in posts.values()])
+            uniq = np.unique(all_ids)
+            scores = np.zeros(uniq.size)
+            nmatch = np.zeros(uniq.size, dtype=np.int32)
+            for t, (ids, tfs, dls) in posts.items():
+                idx = np.searchsorted(uniq, ids)
+                s = self._term_score(tfs.astype(np.float64),
+                                     dls.astype(np.float64),
+                                     self._df(t, 0, float(ids.size)))
+                np.add.at(scores, idx, s)
+                nmatch[idx] += 1
+            mask = np.ones(uniq.size, dtype=bool)
+            if require_all:
+                mask = nmatch >= len(terms)
+            cand = np.flatnonzero(mask)
+            if cand.size == 0:
+                return []
         # top-k heap: argpartition by score, then WIDEN the cut to every
         # candidate tied with the boundary score before the exact
         # (score desc, doc_id asc) lexsort — argpartition alone resolves
@@ -538,38 +580,65 @@ class LocalSearcher:
         pruned = (self._dismax_pruned(
             terms, k, {FIELDS[f]: float(b) for f, b in boosts.items()},
             prune_stats) if prune else None)
-        per_doc: dict = {}
+        field_posts = []   # (boost, n, avgdl, posts{t:(ids,tfs,dls)}, dfs)
         for fname, boost in boosts.items():
             fid = FIELDS[fname]
             n, avgdl = self._field_stats(fname)
             if pruned is not None:
+                fp = pruned.get(fid) or {}
                 posts = {t: (ids, tfs, dls)
-                         for t, (ids, tfs, dls, _df)
-                         in (pruned.get(fid) or {}).items()}
-                dfs = {t: _df for t, (_i, _t2, _d, _df)
-                       in (pruned.get(fid) or {}).items()}
+                         for t, (ids, tfs, dls, _df) in fp.items()}
+                dfs = {t: _df for t, (_i, _t2, _d, _df) in fp.items()}
             else:
                 posts = self._postings_arrays(terms, fid)
                 dfs = {t: self._df(t, fid, float(p[0].size))
                        for t, p in posts.items()}
-            if not posts:
-                continue
-            all_ids = np.concatenate([p[0] for p in posts.values()])
-            uniq = np.unique(all_ids)
-            s_f = np.zeros(uniq.size)
-            for _t, (ids, tfs, dls) in posts.items():
-                idx = np.searchsorted(uniq, ids)
-                np.add.at(s_f, idx, self._term_score(
-                    tfs.astype(np.float64), dls.astype(np.float64),
-                    dfs[_t], n, avgdl))
-            boosted = float(boost) * s_f
-            for d, v in zip(uniq.tolist(), boosted.tolist()):
-                if v > per_doc.get(d, -1.0):
-                    per_doc[d] = v
-        if not per_doc:
+            if posts:
+                field_posts.append((float(boost), n, avgdl, posts, dfs))
+        if not field_posts:
             return []
-        doc_ids = np.fromiter(per_doc.keys(), dtype=np.int64)
-        scores = np.fromiter(per_doc.values(), dtype=np.float64)
+        dense = self._dense_info(sum(
+            p[0].size for _b, _n, _a, posts, _d in field_posts
+            for p in posts.values()))
+        if dense is not None:
+            # hot query: per-field dense accumulation, dis_max as an
+            # elementwise maximum (a term score is strictly positive, so
+            # s_f > 0 ⇔ matched in that field)
+            base0, n_dv = dense
+            best = None
+            for boost, n, avgdl, posts, dfs in field_posts:
+                s_f = np.zeros(n_dv)
+                for _t, (ids, tfs, dls) in posts.items():
+                    s_f[ids - base0] += self._term_score(
+                        tfs.astype(np.float64), dls.astype(np.float64),
+                        dfs[_t], n, avgdl)
+                boosted = boost * s_f
+                best = boosted if best is None \
+                    else np.maximum(best, boosted)
+            cand = np.flatnonzero(best > 0.0)
+            if cand.size == 0:
+                return []
+            doc_ids = cand + base0
+            scores = best[cand]
+        else:
+            per_doc: dict = {}
+            for boost, n, avgdl, posts, dfs in field_posts:
+                all_ids = np.concatenate([p[0] for p in posts.values()])
+                uniq = np.unique(all_ids)
+                s_f = np.zeros(uniq.size)
+                for _t, (ids, tfs, dls) in posts.items():
+                    idx = np.searchsorted(uniq, ids)
+                    np.add.at(s_f, idx, self._term_score(
+                        tfs.astype(np.float64), dls.astype(np.float64),
+                        dfs[_t], n, avgdl))
+                boosted = boost * s_f
+                for d, v in zip(uniq.tolist(), boosted.tolist()):
+                    if v > per_doc.get(d, -1.0):
+                        per_doc[d] = v
+            if not per_doc:
+                return []
+            doc_ids = np.fromiter(per_doc.keys(), dtype=np.int64)
+            scores = np.fromiter(per_doc.values(), dtype=np.float64)
         kk = min(k, doc_ids.size)
         if kk < doc_ids.size:
             part = np.argpartition(-scores, kk - 1)
