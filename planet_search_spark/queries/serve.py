@@ -270,85 +270,108 @@ class LocalSearcher:
     # -- queries ---------------------------------------------------------------
 
     def _block_meta(self, terms: list[str], field_id: int) -> dict:
-        """term -> per-block metadata + still-encoded payload lists, the
-        raw material of serving-side WAND (one column-pruned scan per
-        segment; payloads decode only for KEPT blocks)."""
-        acc: dict[str, dict] = {t: {"n": [], "d": [], "t": [], "l": [],
-                                    "ub": [], "ms": []}
+        """term -> per-block METADATA lists (no payload bytes): n_docs,
+        (max_tf, min_dl) ub pair, stored max REAL score, and the block's
+        (segment, block_id) address. Phase 1 of serving-side WAND — the
+        payload columns are never read here (parquet is columnar), so the
+        scan is KBs even for a stopword."""
+        acc: dict[str, dict] = {t: {"n": [], "ub": [], "ms": [], "addr": []}
                                 for t in terms}
-        cols = ["term", "n_docs", "docs_bin", "tfs_bin", "dls_bin",
-                "max_tf", "min_dl", "max_score"]
+        cols = ["term", "n_docs", "max_tf", "min_dl", "max_score",
+                "block_id"]
         buckets = sorted({bucket_of(t, self.n_buckets) for t in terms})
         filt = (ds.field("bucket").isin(buckets)
                 & (ds.field("field") == field_id)
                 & ds.field("term").isin(terms))
-        for d in self._postings:
+        for si, d in enumerate(self._postings):
             tbl = d.to_table(columns=cols, filter=filt)
             tcol = tbl.column("term").to_pylist()
             ncol = tbl.column("n_docs").to_pylist()
-            dbin = tbl.column("docs_bin").to_pylist()
-            tbin = tbl.column("tfs_bin").to_pylist()
-            lbin = tbl.column("dls_bin").to_pylist()
             # ub pairs recomputed after per-term df aggregation (idf is a
             # per-term constant; (max_tf, min_dl) dominates any (tf, dl))
             ubp = list(zip(tbl.column("max_tf").to_pylist(),
                            tbl.column("min_dl").to_pylist()))
             mscol = tbl.column("max_score").to_pylist()
+            bcol = tbl.column("block_id").to_pylist()
             for i, t in enumerate(tcol):
                 a = acc[t]
                 a["n"].append(ncol[i])
-                a["d"].append(dbin[i])
-                a["t"].append(tbin[i])
-                a["l"].append(lbin[i])
                 a["ub"].append(ubp[i])
                 a["ms"].append(mscol[i])
+                a["addr"].append((si, bcol[i]))
         return acc
 
-    def _theta_term(self, a: dict, df: float, k: int, n: float,
-                    avgdl: float) -> float:
-        """θ_t: the k-th largest REAL decoded per-term score among the
-        postings of t's best blocks by descending stored per-block MAX
-        REAL score (any posting subset yields a valid θ_t — adding
-        postings only raises the k-th largest — and the max_score
-        ordering provably finds the blocks holding the best real
-        postings; pairing-bound orderings picked near-arbitrary blocks
-        on uniform corpora and left θ loose). 0.0 when t has < k
-        postings in the selected blocks."""
+    def _fetch_payloads(self, want: set, field_id: int) -> dict:
+        """Phase 2: payload bytes for EXACTLY the requested block
+        addresses — {(segment, term, block_id) -> (docs_bin, tfs_bin,
+        dls_bin)}. One pushdown scan per involved segment; the
+        term×block_id isin cross product may over-read a few blocks,
+        filtered exactly client-side (block_id is unique within a
+        segment's (field, term) postings by construction)."""
+        by_seg: dict[int, tuple[set, set]] = {}
+        for (si, t, bid) in want:
+            ts, bids = by_seg.setdefault(si, (set(), set()))
+            ts.add(t)
+            bids.add(bid)
+        out = {}
+        for si, pair in by_seg.items():
+            ts, bids = pair
+            buckets = sorted({bucket_of(t, self.n_buckets) for t in ts})
+            filt = (ds.field("bucket").isin(buckets)
+                    & (ds.field("field") == field_id)
+                    & ds.field("term").isin(sorted(ts))
+                    & ds.field("block_id").isin(sorted(bids)))
+            tbl = self._postings[si].to_table(
+                columns=["term", "block_id", "docs_bin", "tfs_bin",
+                         "dls_bin"], filter=filt)
+            for t, bid, db, tb, lb in zip(
+                    tbl.column("term").to_pylist(),
+                    tbl.column("block_id").to_pylist(),
+                    tbl.column("docs_bin").to_pylist(),
+                    tbl.column("tfs_bin").to_pylist(),
+                    tbl.column("dls_bin").to_pylist()):
+                if (si, t, bid) in want:
+                    out[(si, t, bid)] = (db, tb, lb)
+        return out
+
+    @staticmethod
+    def _theta_sel(a: dict, k: int):
+        """Indices of t's best blocks by descending stored per-block MAX
+        REAL score, covering ≥ k postings — the blocks whose decoded
+        payloads witness θ_t (any posting subset yields a valid θ_t:
+        adding postings only raises the k-th largest, and the max_score
+        ordering provably finds the best real postings; pairing-bound
+        orderings picked near-arbitrary blocks on uniform corpora and
+        left θ loose). None when t has < k postings."""
         order = np.argsort(-np.asarray(a["ms"], dtype=np.float64))
         n_docs_t = np.asarray(a["n"], dtype=np.int64)[order]
         cum = np.cumsum(n_docs_t)
         take = int(np.searchsorted(cum, k) + 1)
-        sel = order[:take]
         if int(n_docs_t[:take].sum()) < k:
-            return 0.0
-        tfs = codec.varbyte_decode(
-            b"".join(a["t"][i] for i in sel)).astype(np.float64)
-        dls = codec.varbyte_decode(
-            b"".join(a["l"][i] for i in sel)).astype(np.float64)
-        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
-        s = idf * tfs / (tfs + S.K1 * (1 - S.B + S.B * dls / avgdl))
-        return float(np.partition(s, s.size - k)[s.size - k])
+            return None
+        return [int(i) for i in order[:take]]
 
     @staticmethod
-    def _decode_kept(a: dict, keep: np.ndarray) -> tuple:
-        n_docs = np.asarray(a["n"], dtype=np.int64)[keep]
-        ids = codec.decode_positions(
-            b"".join(d for d, m in zip(a["d"], keep) if m), n_docs)
+    def _decode_blocks_at(a: dict, t: str, idxs, pay: dict) -> tuple:
+        """(ids, tfs, dls) decoded from the fetched payloads of blocks
+        ``idxs`` (in that order; n_docs segment lengths stay aligned)."""
+        n_docs = np.asarray(a["n"], dtype=np.int64)[idxs]
+        bins = [pay[(a["addr"][i][0], t, a["addr"][i][1])] for i in idxs]
+        ids = codec.decode_positions(b"".join(b[0] for b in bins), n_docs)
         return (ids,
-                codec.varbyte_decode(
-                    b"".join(x for x, m in zip(a["t"], keep) if m)),
-                codec.varbyte_decode(
-                    b"".join(x for x, m in zip(a["l"], keep) if m)))
+                codec.varbyte_decode(b"".join(b[1] for b in bins)),
+                codec.varbyte_decode(b"".join(b[2] for b in bins)))
 
     def _postings_arrays_pruned(self, terms: list[str], k: int,
                                 field_id: int = 0,
                                 prune_stats: dict | None = None) -> dict:
         """Block-max WAND pruned postings — EXACT top-k (same θ derivation
-        and exactness argument as the engine, `engine.py` module docstring),
-        but in numpy over the already-fetched block metadata: θ costs
-        microseconds here, and pruned blocks skip the varbyte DECODE (the
-        dominant serving cost on hot terms). Never cached (the kept set
-        depends on k)."""
+        and exactness argument as the engine, `engine.py` module
+        docstring), TWO-PHASE like the engine (round 4): phase 1 scans
+        block METADATA only (KBs — parquet never reads the payload
+        columns), phase 2 fetches payload bytes for just the θ-witness
+        and kept blocks. Pruned blocks never leave parquet — neither
+        fetched nor decoded. Never cached (the kept set depends on k)."""
         n, avgdl = self._field_stats("text" if field_id == 0 else "meta")
         acc = self._block_meta(terms, field_id)
         k1, b = S.K1, S.B
@@ -365,18 +388,44 @@ class LocalSearcher:
             return {}
         mx = {t: float(v[2].max()) for t, v in per_term.items()}
         total = sum(mx.values())
+        # phase 2a: fetch + decode payloads of ONLY the θ-witness blocks
+        sel_by_term = {t: self._theta_sel(v[0], k)
+                       for t, v in per_term.items()}
+        want = {(per_term[t][0]["addr"][i][0], t,
+                 per_term[t][0]["addr"][i][1])
+                for t, sel in sel_by_term.items() if sel
+                for i in sel}
+        pay = self._fetch_payloads(want, field_id)
         theta = 0.0
-        for t, (a, df, ubs) in per_term.items():
-            theta = max(theta, self._theta_term(a, df, k, n, avgdl))
-        out, blocks_total, blocks_kept = {}, 0, 0
+        for t, sel in sel_by_term.items():
+            if not sel:
+                continue
+            a, df, ubs = per_term[t]
+            _ids, tfs, dls = self._decode_blocks_at(a, t, sel, pay)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            s = idf * tfn(tfs.astype(np.float64), dls.astype(np.float64))
+            theta = max(theta,
+                        float(np.partition(s, s.size - k)[s.size - k]))
+        # phase 2b: fetch payloads for ONLY the kept blocks (reusing the
+        # θ-witness payloads) — pruned blocks never leave parquet
+        keeps, want_keep = {}, set()
+        blocks_total = blocks_kept = 0
         for t, (a, df, ubs) in per_term.items():
             other = total - mx[t]
             keep = (ubs + other) >= theta - 1e-12
+            keeps[t] = keep
             blocks_total += keep.size
             blocks_kept += int(keep.sum())
-            if not keep.any():
+            for i in np.flatnonzero(keep):
+                si, bid = a["addr"][i]
+                want_keep.add((si, t, bid))
+        pay.update(self._fetch_payloads(want_keep - set(pay), field_id))
+        out = {}
+        for t, (a, df, ubs) in per_term.items():
+            idxs = [int(i) for i in np.flatnonzero(keeps[t])]
+            if not idxs:
                 continue
-            ids, tfs, dls = self._decode_kept(a, keep)
+            ids, tfs, dls = self._decode_blocks_at(a, t, idxs, pay)
             out[t] = (ids, tfs, dls, df)
         if prune_stats is not None:
             prune_stats.update(theta=theta, blocks_total=blocks_total,
@@ -427,12 +476,35 @@ class LocalSearcher:
         total_f: dict = {}
         for (fid, _t), v in mx.items():
             total_f[fid] = total_f.get(fid, 0.0) + v
+        # phase 2a: θ-witness payloads only (per field — the payload scans
+        # carry the field filter)
+        sel_by = {key: self._theta_sel(v[0], k) for key, v in per.items()}
+        pay_by_fid: dict = {}
+        for fid in total_f:
+            want = {(per[key][0]["addr"][i][0], key[1],
+                     per[key][0]["addr"][i][1])
+                    for key, sel in sel_by.items()
+                    if sel and key[0] == fid for i in sel}
+            pay_by_fid[fid] = self._fetch_payloads(want, fid)
         theta = 0.0
-        for (fid, t), (a, df, ubs) in per.items():
+        for (fid, t), sel in sel_by.items():
+            if not sel:
+                continue
+            a, df, ubs = per[(fid, t)]
             n, avgdl, boost = stats[fid]
-            theta = max(theta, boost * self._theta_term(a, df, k, n, avgdl))
+            _ids, tfs, dls = self._decode_blocks_at(a, t, sel,
+                                                    pay_by_fid[fid])
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            tfs = tfs.astype(np.float64)
+            dls = dls.astype(np.float64)
+            s = idf * tfs / (tfs + k1 * (1 - b + b * dls / avgdl))
+            theta = max(theta, boost *
+                        float(np.partition(s, s.size - k)[s.size - k]))
+        # phase 2b: fetch + decode ONLY the kept blocks
         out: dict = {fid: {} for fid in total_f}
+        keeps: dict = {}
         blocks_total = blocks_kept = 0
+        want_by_fid: dict = {fid: set() for fid in total_f}
         for (fid, t), (a, df, ubs) in per.items():
             n, avgdl, boost = stats[fid]
             other = total_f[fid] - mx[(fid, t)]
@@ -442,11 +514,21 @@ class LocalSearcher:
                 keep = np.ones(ubs.size, dtype=bool)
             else:
                 keep = (boost * (ubs + other)) >= theta - 1e-12
+            keeps[(fid, t)] = keep
             blocks_total += keep.size
             blocks_kept += int(keep.sum())
-            if not keep.any():
+            for i in np.flatnonzero(keep):
+                si, bid = a["addr"][i]
+                want_by_fid[fid].add((si, t, bid))
+        for fid in total_f:
+            pay_by_fid[fid].update(self._fetch_payloads(
+                want_by_fid[fid] - set(pay_by_fid[fid]), fid))
+        for (fid, t), (a, df, ubs) in per.items():
+            idxs = [int(i) for i in np.flatnonzero(keeps[(fid, t)])]
+            if not idxs:
                 continue
-            ids, tfs, dls = self._decode_kept(a, keep)
+            ids, tfs, dls = self._decode_blocks_at(a, t, idxs,
+                                                   pay_by_fid[fid])
             out[fid][t] = (ids, tfs, dls, df)
         if prune_stats is not None:
             prune_stats.update(theta=theta, blocks_total=blocks_total,
