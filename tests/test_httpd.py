@@ -146,3 +146,34 @@ def test_http_relevance_corpus_parity(http_index):
     finally:
         for d in daemons:
             d.stop()
+
+
+def test_http_daemon_concurrent_load(http_index):
+    """ThreadingHTTPServer serves one LocalSearcher from many handler
+    threads: 8 concurrent clients x mixed methods must all succeed and
+    match the serial answers (the serving caches are locked LRUs)."""
+    from concurrent.futures import ThreadPoolExecutor
+    d = SearchDaemon(http_index).start()
+    try:
+        coord = HttpShardedSearcher([d.url])
+        single = LocalSearcher(http_index)
+        qs = ["error timeout retry", "the data", "spark user", "kitten"]
+        serial = {q: _pairs(single.bm25_topk(q, k=8, hydrate=False))
+                  for q in qs}
+        p_full = SearchParams(query="error timeout", multifield=True,
+                              phrase_tiers=True, recency=True, k=8)
+        serial_full = _pairs(single.search(p_full))
+
+        def client(i):
+            for j in range(6):
+                q = qs[(i + j) % len(qs)]
+                assert _pairs(coord.bm25_topk(q, k=8,
+                                              hydrate=False)) == serial[q]
+                if j % 2 == 0:
+                    assert _pairs(coord.search(p_full)) == serial_full
+            return True
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            assert all(pool.map(client, range(8)))
+    finally:
+        d.stop()
