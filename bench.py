@@ -235,17 +235,46 @@ def main():
             timed(f"logical_{name}", lambda fn=fn: fn(spark, sf_dir).collect())
 
         total = round(sum(timings.values()), 3)
-        print(json.dumps({
-            "metric": "index_build_and_query_suite_sec",
-            "value": total, "unit": "sec", "queries": timings,
-            "queries_cold": cold, "sf": sf,
-            "build": {"n_docs": metrics["n_docs"],
-                      "turns_per_sec": round(metrics["turns_per_sec"], 1),
-                      "n_terms": metrics["n_terms"],
-                      "postings_bytes": metrics["postings_bytes"],
-                      "skew_ratio": round(metrics["skew_ratio"], 2),
-                      "cpus": cpus, "n_turns_requested": n_turns},
-        }))
+        build_doc = {"n_docs": metrics["n_docs"],
+                     "turns_per_sec": round(metrics["turns_per_sec"], 1),
+                     "n_terms": metrics["n_terms"],
+                     "postings_bytes": metrics["postings_bytes"],
+                     "skew_ratio": round(metrics["skew_ratio"], 2),
+                     "cpus": cpus, "n_turns_requested": n_turns}
+        full_doc = {"metric": "index_build_and_query_suite_sec",
+                    "value": total, "unit": "sec", "queries": timings,
+                    "queries_cold": cold, "sf": sf, "build": build_doc}
+        # full record to a file; the FINAL stdout line is a COMPACT headline
+        # (suite total + build t/s + the claimed pairs + serving p50s) so
+        # the driver's bounded tail capture always parses it — round 4's
+        # full-dict line outgrew the capture and the committed artifact
+        # came back "parsed": null.
+        full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BENCH_full.json")
+        with open(full_path, "w") as f:
+            json.dump(full_doc, f, indent=1)
+        HEADLINE = [
+            "index_build", "index_build_4seg_lsm",
+            "bm25_topk_wand_stopword", "bm25_topk_noprune_stopword",
+            "bm25_topk_wand_clustered", "bm25_topk_noprune_clustered",
+            "bm25_topk_wand_docordered_stopword",
+            "bm25_topk_noprune_docordered_stopword",
+            "serve_wand_clustered_p50", "serve_noprune_clustered_p50",
+            "serve_dismax_wand_clustered_p50",
+            "serve_dismax_noprune_clustered_p50",
+            "serve_bm25_topk_p50", "serve_full_search_p50",
+            "serve_prefix_search_p50",
+            "serve_full_search_1shard_p50", "serve_full_search_4shards_p50",
+        ]
+        print(json.dumps(
+            {"metric": "index_build_and_query_suite_sec",
+             "value": total, "unit": "sec", "sf": sf,
+             "queries": {k: timings[k] for k in HEADLINE if k in timings},
+             "build": {"turns_per_sec": build_doc["turns_per_sec"],
+                       "n_docs": build_doc["n_docs"],
+                       "cpus": cpus},
+             "full": "BENCH_full.json"},
+            separators=(",", ":")))
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
         shutil.rmtree(clu_dir, ignore_errors=True)

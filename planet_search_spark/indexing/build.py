@@ -755,15 +755,32 @@ def gc_segments(out_dir: str, *, grace_sec: float = 0.0) -> list:
             continue
         since = retired.get(s, os.path.getmtime(d))
         if now - since >= grace_sec:
+            # re-check against the CURRENT live set right before deleting:
+            # a publish landing after the snapshot read above would make s
+            # live with no tombstone, and the mtime fallback at grace 0
+            # would otherwise delete a just-published segment.
+            with open(live_path) as f:
+                if s in set(json.load(f)["segments"]):
+                    continue
             shutil.rmtree(d)
             removed.append(s)
     if removed and any(s in retired for s in removed):
-        live_doc["retired"] = {s: t for s, t in retired.items()
-                               if s not in removed}
-        tmp = os.path.join(out_dir, ".live.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(live_doc, f)
-        os.replace(tmp, live_path)
+        # Re-read live.json IMMEDIATELY before the write and prune ONLY the
+        # removed tombstone keys from its CURRENT content: a publish
+        # (_finalize_segment) may have landed during the rmtree sweep above,
+        # and writing back the stale snapshot would clobber the newly
+        # published segment list / next_seg_id (segment loss + id reuse).
+        # Appends concurrent with GC are in-contract for the LSM layout.
+        with open(live_path) as f:
+            cur_doc = json.load(f)
+        cur_retired = dict(cur_doc.get("retired", {}))
+        pruned = {s: t for s, t in cur_retired.items() if s not in removed}
+        if pruned != cur_retired:
+            cur_doc["retired"] = pruned
+            tmp = os.path.join(out_dir, ".live.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(cur_doc, f)
+            os.replace(tmp, live_path)
     return removed
 
 

@@ -32,6 +32,7 @@ import json
 import threading
 from dataclasses import asdict
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.error import HTTPError
 from urllib.request import Request, urlopen
 
 from .params import SearchParams
@@ -145,14 +146,29 @@ class HttpShardedSearcher:
         payload = json.dumps({"method": method, "args": args,
                               "kwargs": kwargs}).encode("utf-8")
         last = None
-        for _ in range(self.retries + 1):
+        for attempt in range(self.retries + 1):
             try:
                 req = Request(url + "/query", data=payload,
                               headers={"Content-Type": "application/json"})
                 with urlopen(req, timeout=self.timeout) as resp:
                     doc = json.loads(resp.read())
                 return doc["rows"]
-            except Exception as e:  # noqa: BLE001 — retry any transport err
+            except HTTPError as e:
+                # surface the daemon's JSON error body ({'error': 'T: msg'})
+                # instead of the bare status line, and never retry 4xx —
+                # client errors (unknown method, bad params) are
+                # deterministic, so retrying only triples latency
+                try:
+                    body = json.loads(e.read()).get("error", "")
+                except Exception:  # noqa: BLE001 — body unreadable
+                    body = ""
+                last = RuntimeError(
+                    f"HTTP {e.code} from shard: {body or e.reason}")
+                if 400 <= e.code < 500:
+                    raise RuntimeError(
+                        f"shard {url} client error (no retry): {last}"
+                    ) from e
+            except Exception as e:  # noqa: BLE001 — retry transport errors
                 last = e
         raise RuntimeError(f"shard {url} failed after "
                            f"{self.retries + 1} attempts: {last}")

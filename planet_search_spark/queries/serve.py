@@ -688,16 +688,21 @@ class LocalSearcher:
             # s_f > 0 ⇔ matched in that field)
             base0, n_dv = dense
             best = None
+            # explicit matched mask: inferring match from best > 0.0 would
+            # drop a doc whose only matching field carries a zero boost,
+            # diverging from the sparse path (which keeps any matched doc)
+            matched = np.zeros(n_dv, dtype=bool)
             for boost, n, avgdl, posts, dfs in field_posts:
                 s_f = np.zeros(n_dv)
                 for _t, (ids, tfs, dls) in posts.items():
                     s_f[ids - base0] += self._term_score(
                         tfs.astype(np.float64), dls.astype(np.float64),
                         dfs[_t], n, avgdl)
+                    matched[ids - base0] = True
                 boosted = boost * s_f
                 best = boosted if best is None \
                     else np.maximum(best, boosted)
-            cand = np.flatnonzero(best > 0.0)
+            cand = np.flatnonzero(matched)
             if cand.size == 0:
                 return []
             doc_ids = cand + base0
@@ -951,7 +956,10 @@ class LocalSearcher:
             # O(candidates) beats O(N) zeroing.
             base0, n_dv = int(dv_ids[0]), dv_ids.size
             bm_d = np.zeros(n_dv)
-            nmatch_d = np.zeros(n_dv, dtype=np.int8)
+            # int32, not int8: ≥128 distinct original terms would overflow
+            # silently and corrupt the nmatch>0 mask / operator='and' check
+            # (memory is dominated by the float64 bm_d array anyway)
+            nmatch_d = np.zeros(n_dv, dtype=np.int32)
             m_buf = np.empty(n_dv, dtype=bool)
             for o in exp_by_orig:
                 m_buf[:] = False
