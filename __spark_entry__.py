@@ -32,7 +32,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # only trivial column-math/agg ops that were green in BOTH r1 and r2 and
 # are re-checked locally by scripts/check_oracle.py (see COVERAGE.md).
 _GATE_TAIL = ["area_normalize", "name_set_union", "multivalue_split",
-              "source_union"]
+              "source_union", "token_count", "json_props_parse", "lang_id"]
 
 
 def _ordered() -> list[str]:

@@ -265,6 +265,182 @@ def q_ann_ivf_topk_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cannot desynchronize the oracle. At 100 TB: each round is one narrow
 # posexplode + groupBy(centroid, dim) avg (C*D rows out) + broadcast rescan.
 
+# ---------------------------------------------------------------------------
+# Scale-path IVF training: sampled k-means++ init + Lloyd to a movement
+# threshold (round-5 VERDICT item 3 — the frozen first-C/1-round spec above
+# stays as the DuckDB-oracle surface; THIS is what you ship at 100 TB)
+# ---------------------------------------------------------------------------
+# Design at 10^9+ vectors:
+#   * init: k-means++ on a bounded DETERMINISTIC sample (hash-ordered
+#     limit) collected to the driver — k·sample_size distance evals in
+#     numpy, never a Spark job per seed;
+#   * Lloyd rounds: centroids broadcast as one (k, D) ndarray; assignment
+#     is an Arrow-batched mapInPandas matmul (vectorized, no per-row
+#     Python); new centroids via groupBy(cluster) per-dim sums (k·D rows
+#     out of the shuffle — map-side combine makes this a narrow agg);
+#   * stop when max centroid movement (L2) < tol or max_iters.
+# Default k ~ sqrt(N) (classic IVF sizing: balances bucket scan cost
+# k + N/k per probe).
+
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
+
+
+def _kmeanspp_init(sample: np.ndarray, k: int, seed: int = 13) -> np.ndarray:
+    """Deterministic k-means++ seeding over a driver-side sample."""
+    rng = np.random.default_rng(seed)
+    n = sample.shape[0]
+    cents = [sample[int(rng.integers(n))]]
+    d2 = np.full(n, np.inf)
+    for _ in range(1, k):
+        d2 = np.minimum(d2, ((sample - cents[-1]) ** 2).sum(axis=1))
+        tot = float(d2.sum())
+        if tot <= 0.0:            # degenerate: all points coincide
+            cents.append(sample[int(rng.integers(n))])
+            continue
+        cents.append(sample[int(rng.choice(n, p=d2 / tot))])
+    return np.stack(cents)
+
+
+def _assign_batches(emb: DataFrame, cents_bc) -> DataFrame:
+    """(vec_id, cluster) via an Arrow-batched matmul against the
+    broadcast centroid matrix — the FAISS-style assignment kernel."""
+    spark = emb.sparkSession
+
+    def assign(batches):
+        c = cents_bc.value                       # (k, D)
+        cn = np.linalg.norm(c, axis=1)
+        cn[cn == 0.0] = 1.0
+        for pdf in batches:
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            xn = np.linalg.norm(x, axis=1)
+            xn[xn == 0.0] = 1.0
+            sims = (x / xn[:, None]) @ (c / cn[:, None]).T
+            yield pd.DataFrame({"vec_id": pdf["vec_id"],
+                                "cluster": sims.argmax(axis=1)})
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id long, cluster int")
+
+
+def kmeans_train(emb: DataFrame, k: int | None = None, *,
+                 sample_size: int = 100_000, max_iters: int = 20,
+                 tol: float = 1e-4, seed: int = 13) -> dict:
+    """Train IVF centroids at scale; returns {'centroids': (k,D) ndarray,
+    'iters': int, 'movement': float, 'k': int}.
+
+    The input never leaves the cluster except the bounded init sample;
+    every Lloyd round is one narrow mapInPandas + one k·D-row aggregate.
+    """
+    spark = emb.sparkSession
+    n = emb.count()
+    if k is None:
+        k = max(2, int(n ** 0.5))
+    # deterministic bounded sample: hash-ordered limit (no Math.random)
+    sample_rows = (emb.select("vec_id", "embedding")
+                   .orderBy(F.xxhash64("vec_id"))
+                   .limit(int(sample_size)).collect())
+    sample = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                       for r in sample_rows])
+    cents = _kmeanspp_init(sample, k, seed)
+    movement, iters = float("inf"), 0
+    for iters in range(1, max_iters + 1):
+        bc = spark.sparkContext.broadcast(cents)
+        assigned = _assign_batches(emb, bc)
+        dims = (assigned.join(emb.select("vec_id", "embedding"), "vec_id")
+                .select("cluster",
+                        F.posexplode("embedding").alias("dim", "x")))
+        rows = (dims.groupBy("cluster", "dim")
+                .agg(F.sum(F.col("x").cast("double")).alias("sx"),
+                     F.count("*").alias("c"))
+                .collect())                      # k*D rows — bounded
+        new = cents.copy()
+        agg: dict = {}
+        for r in rows:
+            agg.setdefault(r["cluster"], {})[r["dim"]] = (r["sx"], r["c"])
+        for cl, dmap in agg.items():
+            for d, (sx, c) in dmap.items():
+                new[cl, d] = sx / c
+        movement = float(np.linalg.norm(new - cents, axis=1).max())
+        cents = new
+        bc.destroy()
+        if movement < tol:
+            break
+    return {"centroids": cents, "iters": iters, "movement": movement,
+            "k": k}
+
+
+def ivf_assign_scaled(emb: DataFrame, model: dict) -> DataFrame:
+    """(vec_id, cluster) under the trained model — broadcast matmul."""
+    bc = emb.sparkSession.sparkContext.broadcast(model["centroids"])
+    return _assign_batches(emb, bc)
+
+
+_U64 = np.uint64
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 — counter-based determinism: the value for a
+    given counter is identical under ANY partitioning of the input."""
+    x = (x + _U64(0x9E3779B97F4A7C15))
+    x = (x ^ (x >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> _U64(27))) * _U64(0x94D049BB133111EB)
+    return x ^ (x >> _U64(31))
+
+
+def _unit_uniform(counter: np.ndarray, seed: int) -> np.ndarray:
+    h = _splitmix64(counter ^ _U64(seed * 0x9E3779B97F4A7C15 & (2**64 - 1)))
+    return (h >> _U64(11)).astype(np.float64) / float(1 << 53)
+
+
+def planted_embeddings(spark: SparkSession, n: int, *, dim: int = 32,
+                       n_clusters: int = 10, noise: float = 0.2,
+                       seed: int = 7) -> DataFrame:
+    """Deterministic synthetic embedding corpus with PLANTED cluster
+    structure (vec_id % n_clusters picks a Gaussian center; per-coordinate
+    noise from a counter-based hash RNG, so the data is identical under any
+    partitioning — no Math.random). Used by the scaled-ANN tests and the
+    1M-vector recall bench: the sf fixtures' `label` column is
+    geometrically random, so recall/purity claims need this corpus."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, dim))
+    centers_bc = spark.sparkContext.broadcast(centers)
+
+    def gen(batches):
+        c = centers_bc.value
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            lab = (ids % n_clusters).astype(np.int32)
+            # Box-Muller over counter-hashed uniforms: counter = vec*dim+d
+            ctr = (ids[:, None].astype(np.uint64) * _U64(dim)
+                   + np.arange(dim, dtype=np.uint64)[None, :])
+            u1 = np.clip(_unit_uniform(ctr, seed + 1), 1e-12, 1.0)
+            u2 = _unit_uniform(ctr, seed + 2)
+            z = np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
+            emb = c[lab] + noise * z
+            yield pd.DataFrame({"vec_id": ids,
+                                "embedding": list(emb),
+                                "label": lab})
+
+    return spark.range(n).mapInPandas(
+        gen, "vec_id long, embedding array<double>, label int")
+
+
+@_register("ann_ivf_scaled_assign", None)  # iterative training: rows-only
+def q_ann_ivf_scaled_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate surface for the scale-path IVF: k-means++ init (seeded,
+    deterministic), Lloyd to movement < tol, then full assignment.
+    No SQL oracle (iterative algorithm — the driver's weaker rows-only
+    check applies); correctness is pinned by pytest invariants
+    (tests/test_ann.py: every vector lands on its argmax centroid, the
+    planted ``label`` clusters are recovered, recall@5 vs brute force)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = kmeans_train(emb, max_iters=10, tol=1e-3)
+    return (ivf_assign_scaled(emb, model)
+            .select("vec_id", F.col("cluster").cast("long").alias("cluster"))
+            .orderBy("vec_id"))
+
+
 @_register("ann_kmeans_refine", f"""
 WITH {_SQL_ASSIGN.strip()},
 a1 AS (SELECT vec_id, centroid_id FROM assign WHERE rn = 1),

@@ -504,6 +504,144 @@ def q_conv_contains_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max("s").cast("long").alias("best_start")))
 
 
+# -- bbox_container analogue #2 (bbox_container.json:2-4: polygons containing
+#    the point, sort area DESC, size 1 = the LARGEST container — the 4th
+#    stored template's other sort direction; conv_contains_top1 above covers
+#    bbox_contains' area-asc "tightest container"). Same containment join,
+#    argmax window width with the mirrored deterministic tie-break
+#    (w desc, start asc). Scale shape identical: equi-join on conv_id with
+#    the range predicate residual, never an all-pairs interval join.
+
+@_register("conv_container_top1_desc", f"""
+WITH {TRANSCRIPTS_CTE.strip()},
+pts AS (SELECT conv_id, turn_idx FROM transcripts),
+maxt AS (SELECT conv_id, max(turn_idx) AS mt FROM transcripts GROUP BY conv_id),
+wins AS (
+  SELECT m.conv_id, ww.w, ss.s
+  FROM maxt m,
+       unnest([{', '.join(map(str, _WIN_WIDTHS))}]) AS ww(w),
+       unnest(range(0, m.mt - ww.w + 2)) AS ss(s)
+),
+per AS (
+  SELECT p.conv_id, p.turn_idx, w.w, w.s
+  FROM pts p JOIN wins w
+    ON w.conv_id = p.conv_id
+   AND p.turn_idx >= w.s AND p.turn_idx < w.s + w.w
+),
+best AS (
+  SELECT conv_id, turn_idx, max(w) AS best_w
+  FROM per GROUP BY conv_id, turn_idx
+)
+SELECT b.conv_id, b.turn_idx,
+       CAST(b.best_w AS BIGINT) AS best_w,
+       CAST(min(p.s) AS BIGINT) AS best_start
+FROM best b
+JOIN per p ON p.conv_id = b.conv_id AND p.turn_idx = b.turn_idx
+          AND p.w = b.best_w
+GROUP BY b.conv_id, b.turn_idx, b.best_w
+""")
+def q_conv_container_top1_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tx = transcripts_from_documents(spark, sf_dir)
+    pts = tx.select("conv_id", "turn_idx")
+    maxt = tx.groupBy("conv_id").agg(F.max("turn_idx").alias("mt"))
+    widths = F.explode(F.array(*[F.lit(w) for w in _WIN_WIDTHS])).alias("w")
+    wins = (maxt.select("conv_id", "mt", widths)
+            .where(F.col("mt") - F.col("w") + 1 >= 0)
+            .select("conv_id", "w",
+                    F.explode(F.sequence(
+                        F.lit(0), F.col("mt") - F.col("w") + 1)).alias("s")))
+    per = pts.join(wins, "conv_id").where(
+        (F.col("turn_idx") >= F.col("s"))
+        & (F.col("turn_idx") < F.col("s") + F.col("w")))
+    best = per.groupBy("conv_id", "turn_idx").agg(F.max("w").alias("best_w"))
+    return (best.join(per.withColumnRenamed("w", "best_w"),
+                      ["conv_id", "turn_idx", "best_w"])
+            .groupBy("conv_id", "turn_idx",
+                     F.col("best_w").cast("long").alias("best_w"))
+            .agg(F.min("s").cast("long").alias("best_start")))
+
+
+# -- A11 super-relation FIXPOINT (PlanetSearchProfile.java:876-903): the
+#    reference resolves relations whose members are themselves relations by
+#    iterating membership joins until no unresolved reference remains. The
+#    transcript analogue: conversation k references parent conversation
+#    k // 4 (k > 0) — a deterministic forest rooted at conv_0000 — and the
+#    query resolves every conversation's ROOT ancestor + depth. Engine side
+#    is a bounded POINTER-DOUBLING iterative join (depth D resolves in
+#    ceil(log2 D) + 1 rounds — at 10^12 convs with depth 40 that is 7
+#    shuffle rounds, vs 40 for naive parent-following), lineage cut per
+#    round; oracle is an independent recursive CTE.
+
+FIXPOINT_MAX_ROUNDS = 16  # 2^16-deep chains; the test asserts fewer
+
+
+def resolve_fixpoint(refs: DataFrame) -> tuple[DataFrame, int]:
+    """refs(node, parent|null) -> ((node, root, depth), rounds_used).
+
+    Pointer doubling: state maps node -> (anc, hops); roots self-map with
+    0 hops so composition is stable at the fixpoint. Each round composes
+    the map with itself (anc := anc's anc, hops += anc's hops) and stops
+    when nothing moved — bounded by FIXPOINT_MAX_ROUNDS.
+    """
+    jump = refs.select(
+        "node",
+        F.coalesce("parent", F.col("node")).alias("anc"),
+        F.when(F.col("parent").isNull(), F.lit(0))
+         .otherwise(F.lit(1)).alias("hops")).localCheckpoint(eager=True)
+    for rounds in range(1, FIXPOINT_MAX_ROUNDS + 1):
+        nxt = (jump.alias("a")
+               .join(jump.alias("b"),
+                     F.col("a.anc") == F.col("b.node"))
+               .select(F.col("a.node").alias("node"),
+                       F.col("b.anc").alias("anc"),
+                       (F.col("a.hops") + F.col("b.hops")).alias("hops"))
+               .localCheckpoint(eager=True))
+        moved = (nxt.join(jump.select("node",
+                                      F.col("hops").alias("old_hops")),
+                          "node")
+                 .where(F.col("hops") != F.col("old_hops")).count())
+        jump = nxt
+        if moved == 0:
+            return jump, rounds
+    raise RuntimeError("fixpoint did not converge "
+                       f"in {FIXPOINT_MAX_ROUNDS} rounds")
+
+
+@_register("conv_fixpoint", f"""
+WITH RECURSIVE {TRANSCRIPTS_CTE.strip()},
+convs AS (
+  SELECT DISTINCT conv_id, CAST(substr(conv_id, 6) AS INT) AS n
+  FROM transcripts
+),
+refs AS (
+  SELECT conv_id, CASE WHEN n > 0 THEN printf('conv_%04d', n // 4) END AS parent
+  FROM convs
+),
+walk(conv_id, anc, depth) AS (
+  SELECT conv_id, conv_id, 0 FROM refs
+  UNION ALL
+  SELECT w.conv_id, r.parent, w.depth + 1
+  FROM walk w JOIN refs r ON r.conv_id = w.anc
+  WHERE r.parent IS NOT NULL
+)
+SELECT conv_id, arg_max(anc, depth) AS root_conv,
+       CAST(max(depth) AS BIGINT) AS depth
+FROM walk GROUP BY conv_id
+""")
+def q_conv_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tx = transcripts_from_documents(spark, sf_dir)
+    n = F.substring("conv_id", 6, 10).cast("int")
+    refs = (tx.select("conv_id").distinct()
+            .select(F.col("conv_id").alias("node"),
+                    F.when(n > 0, F.format_string(
+                        "conv_%04d", F.floor(n / 4).cast("int")))
+                     .alias("parent")))
+    resolved, _rounds = resolve_fixpoint(refs)
+    return resolved.select(F.col("node").alias("conv_id"),
+                           F.col("anc").alias("root_conv"),
+                           F.col("hops").cast("long").alias("depth"))
+
+
 # -- JSON source parsing (GeoJSON-scan analogue, A2/MainClass.java:92-94) -----
 
 @_register("json_props_parse", """

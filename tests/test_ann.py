@@ -48,3 +48,99 @@ def test_kmeans_refine_changes_or_keeps_assignments(spark):
     assert len({r.vec_id for r in rows}) == len(rows)
     from planet_search_spark.ann import N_CENTROIDS
     assert all(0 <= r.centroid_id < N_CENTROIDS for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Scale-path IVF training (kmeans_train / ann_ivf_scaled_assign) — the gate
+# records rows-only for this entry, so correctness is pinned HERE.
+# ---------------------------------------------------------------------------
+
+def test_kmeans_train_converges_and_assigns_argmax(spark):
+    import numpy as np
+    from planet_search_spark.ann import ivf_assign_scaled, kmeans_train
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    model = kmeans_train(emb, max_iters=10, tol=1e-3)
+    assert 2 <= model["k"] <= 500
+    assert model["iters"] <= 10
+    # movement threshold reached OR the iteration budget is the binding
+    # constraint (declared in the result either way)
+    assert model["movement"] < 1e-3 or model["iters"] == 10
+    assigned = {r.vec_id: r.cluster
+                for r in ivf_assign_scaled(emb, model).collect()}
+    rows = emb.collect()
+    assert len(assigned) == len(rows)
+    # every vector sits on its argmax-cosine centroid (the invariant the
+    # SQL oracle would have asserted)
+    c = model["centroids"]
+    cn = np.linalg.norm(c, axis=1)
+    cn[cn == 0.0] = 1.0
+    cunit = c / cn[:, None]
+    for r in rows[:100]:
+        x = np.asarray(r.embedding, dtype=np.float64)
+        x /= max(np.linalg.norm(x), 1e-12)
+        assert assigned[r.vec_id] == int((cunit @ x).argmax())
+
+
+def test_kmeans_train_recovers_planted_clusters(spark):
+    """On a corpus with REAL planted cluster structure (the fixture's
+    `label` column is geometrically random — measured same-label cosine ==
+    cross-label), scaled training must recover the clusters (purity) and
+    in-bucket search must reach recall@5 >= 0.8 vs brute force."""
+    import numpy as np
+    from collections import Counter
+    from planet_search_spark.ann import ivf_assign_scaled, kmeans_train
+    from planet_search_spark.ann import planted_embeddings
+    emb = planted_embeddings(spark, n=2000, dim=32, n_clusters=10,
+                             noise=0.15).cache()
+    model = kmeans_train(emb, k=10, max_iters=15, tol=1e-3)
+    joined = (ivf_assign_scaled(emb, model)
+              .join(emb.select("vec_id", "label"), "vec_id").collect())
+    by_cluster: dict = {}
+    for r in joined:
+        by_cluster.setdefault(r.cluster, []).append(r.label)
+    purity = sum(Counter(v).most_common(1)[0][1]
+                 for v in by_cluster.values()) / len(joined)
+    assert purity >= 0.9, purity
+    # recall@5: brute-force exact top-5 for 10 query vectors vs searching
+    # only the query's trained bucket
+    rows = (ivf_assign_scaled(emb, model).join(emb, "vec_id")
+            .select("vec_id", "cluster", "embedding").collect())
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+            for r in rows}
+    cl = {r.vec_id: r.cluster for r in rows}
+    ids = sorted(vecs)
+    M = np.stack([vecs[i] / np.linalg.norm(vecs[i]) for i in ids])
+    hits = tot = 0
+    for qi in ids[:10]:
+        q = vecs[qi] / np.linalg.norm(vecs[qi])
+        sims = M @ q
+        order = [ids[j] for j in np.argsort(-sims) if ids[j] != qi]
+        brute5 = set(order[:5])
+        in_bucket = sorted(
+            ((float(vecs[v] @ q / np.linalg.norm(vecs[v])), v)
+             for v in ids if v != qi and cl[v] == cl[qi]), reverse=True)
+        hits += len({v for _, v in in_bucket[:5]} & brute5)
+        tot += 5
+    assert hits / tot >= 0.8, hits / tot
+
+
+def test_kmeans_train_improves_objective(spark):
+    """Training must not make the quantization WORSE than the frozen
+    first-k init: mean cosine of each vector to its assigned centroid
+    after Lloyd >= before (the k-means monotonicity the oracle can't
+    check)."""
+    import numpy as np
+    from planet_search_spark.ann import (_kmeanspp_init, ivf_assign_scaled,
+                                         kmeans_train)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rows = emb.collect()
+    X = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    Xn = X / np.linalg.norm(X, axis=1)[:, None]
+
+    def mean_obj(c):
+        cn = c / np.maximum(np.linalg.norm(c, axis=1), 1e-12)[:, None]
+        return float((Xn @ cn.T).max(axis=1).mean())
+
+    init = _kmeanspp_init(X, 10, 13)
+    model = kmeans_train(emb, k=10, max_iters=10, tol=1e-3)
+    assert mean_obj(model["centroids"]) >= mean_obj(init) - 1e-9

@@ -29,13 +29,16 @@ def test_registry_tail_is_only_trivial_ops():
         & set(SE._GATE_TAIL)
 
 
+# genuinely non-SQL-expressible ops (iterative algorithms): the driver
+# records a rows-only check; correctness is pinned by pytest instead
+KNOWN_ORACLE_LESS = {"ann_ivf_scaled_assign"}
+
+
 def test_every_query_has_an_oracle_or_is_known_weak():
     q = SE.queries()
     o = SE.oracle_sql()
     assert set(o) <= set(q)
-    # every registered query currently carries a full DuckDB oracle; if a
-    # genuinely non-SQL-expressible op is ever added, list it here
-    assert set(q) == set(o), sorted(set(q) - set(o))
+    assert set(q) - set(o) == KNOWN_ORACLE_LESS, sorted(set(q) - set(o))
 
 
 def test_queries_and_oracles_are_callable_and_strings():

@@ -29,3 +29,34 @@ def test_entry_contract(spark):
     qs, os_ = E.queries(), E.oracle_sql()
     assert set(os_.keys()) <= set(qs.keys())
     assert len(qs) >= 15
+
+
+def test_fixpoint_bounded_rounds(spark):
+    """A11 super-relation fixpoint: pointer doubling must resolve the
+    conv forest (max depth ~4) in <= ceil(log2(depth)) + 2 rounds, and a
+    deep 64-node chain in <= 8 — the bounded-iteration guarantee."""
+    from pyspark.sql import functions as F
+    from planet_search_spark.queries.reference_ops import resolve_fixpoint
+    from planet_search_spark.transcripts import transcripts_from_documents
+    tx = transcripts_from_documents(spark, SF_TINY)
+    n = F.substring("conv_id", 6, 10).cast("int")
+    refs = (tx.select("conv_id").distinct()
+            .select(F.col("conv_id").alias("node"),
+                    F.when(n > 0, F.format_string(
+                        "conv_%04d", F.floor(n / 4).cast("int")))
+                     .alias("parent")))
+    resolved, rounds = resolve_fixpoint(refs)
+    assert rounds <= 4, rounds
+    rows = {r.node: (r.anc, r.hops) for r in resolved.collect()}
+    assert rows["conv_0000"] == ("conv_0000", 0)
+    assert all(anc == "conv_0000" for anc, _ in rows.values())
+    # spot-check a known path: 99 -> 24 -> 6 -> 1 -> 0 (depth 4)
+    assert rows["conv_0099"][1] == 4
+    # deep chain: 0 <- 1 <- 2 ... <- 63 resolves in log2 rounds
+    chain = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i-1:02d}" if i else None) for i in range(64)],
+        "node string, parent string")
+    resolved2, rounds2 = resolve_fixpoint(chain)
+    assert rounds2 <= 8, rounds2
+    got = {r.node: r.hops for r in resolved2.collect()}
+    assert got["n63"] == 63 and got["n00"] == 0
