@@ -52,42 +52,75 @@ def content_key_col():
     return F.md5(F.array_join(A.tokens_col(F.col("text")), " "))
 
 
-def _dedup_fn(key: tuple, pdfs: Iterable[pd.DataFrame],
-              state: GroupState) -> Iterator[pd.DataFrame]:
-    """Emit only the key's FIRST occurrence; afterwards the key's state
-    suppresses every later duplicate. Within the first batch, keep the
-    (conv_id, turn_idx)-smallest row (deterministic, matching the batch
-    oracle's argmin). State payload: total rows seen (the duplicate
-    count, O(1) per key)."""
-    (seen,) = state.get if state.exists else (0,)
-    chunks = [pdf for pdf in pdfs if len(pdf)]
-    total = sum(len(c) for c in chunks)
-    if total and seen == 0:
-        first = (pd.concat(chunks) if len(chunks) > 1 else chunks[0]) \
-            .sort_values(["conv_id", "turn_idx"], kind="mergesort") \
-            .head(1).copy()
-        first["dup_rank"] = 0
-        yield first
-    state.update((seen + total,))
+def _make_dedup_fn(ttl_ms: int | None):
+    def _dedup_fn(key: tuple, pdfs: Iterable[pd.DataFrame],
+                  state: GroupState) -> Iterator[pd.DataFrame]:
+        """Emit only the key's FIRST occurrence; afterwards the key's state
+        suppresses every later duplicate. Within the first batch, keep the
+        (conv_id, turn_idx)-smallest row (deterministic, matching the batch
+        oracle's argmin). State payload: total rows seen (the duplicate
+        count, O(1) per key). With a TTL, an idle key's state expires and
+        is REMOVED — a duplicate arriving past the horizon is readmitted
+        (the documented bounded-horizon trade)."""
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
+        (seen,) = state.get if state.exists else (0,)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        total = sum(len(c) for c in chunks)
+        if total and seen == 0:
+            first = (pd.concat(chunks) if len(chunks) > 1 else chunks[0]) \
+                .sort_values(["conv_id", "turn_idx"], kind="mergesort") \
+                .head(1).copy()
+            first["dup_rank"] = 0
+            yield first
+        state.update((seen + total,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+    return _dedup_fn
 
 
-def dedup_stream(tx: DataFrame) -> DataFrame:
+def dedup_stream(tx: DataFrame, *, ttl_ms: int | None = None) -> DataFrame:
     """Streaming-dedup transformation: one output row per distinct
     content key — its first occurrence — with the key and a dup_rank
-    column attached."""
+    column attached.
+
+    ``ttl_ms``: optional dedup horizon (processing-time). None keeps keys
+    forever (the reference semantics — state is O(all distinct keys));
+    a value expires keys idle that long, bounding state to
+    O(keys-per-horizon) at the cost of readmitting ancient duplicates.
+    Production deployments pass hours (e.g. 7*24*3600*1000)."""
     keyed = tx.withColumn("content_key", content_key_col())
     return (keyed.groupBy("content_key")
             .applyInPandasWithState(
-                _dedup_fn,
+                _make_dedup_fn(ttl_ms),
                 outputStructType=OUT_SCHEMA,
                 stateStructType=STATE_SCHEMA,
                 outputMode="append",
-                timeoutConf=GroupStateTimeout.NoTimeout))
+                timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout
+                             if ttl_ms is not None
+                             else GroupStateTimeout.NoTimeout)))
+
+
+#: RocksDB-backed state store (OSS Spark >= 3.2): state lives on executor
+#: DISK with a bounded block-cache, not on the JVM heap — the only provider
+#: that survives "state is O(distinct keys) forever" at 10^12 turns. The
+#: retention story at scale: semantically the dedup key set is immortal
+#: ("a duplicate hours later is still dropped"), so state is never dropped
+#: by TTL; capacity comes from (a) RocksDB spilling to disk with
+#: changelog/snapshot checkpointing, (b) sharding across executors by key,
+#: and (c) — when a deployment CAN bound the dedup horizon — setting
+#: the ``ttl_ms`` option, which expires keys idle past the horizon
+#: (processing-time timeout) and turns state into O(keys-per-horizon).
+ROCKSDB_PROVIDER = ("org.apache.spark.sql.execution.streaming."
+                    "state.RocksDBStateStoreProvider")
 
 
 def run_dedup_stream(spark: SparkSession, input_dir: str, query_name: str,
                      *, checkpoint: str, sink_path: str | None = None,
-                     max_files_per_trigger: int = 1):
+                     max_files_per_trigger: int = 1,
+                     state_store: str = "rocksdb",
+                     ttl_ms: int | None = None):
     """Stream transcript parquet files through the stateful dedup; state
     persists across triggers (and restarts, via the checkpoint), so a
     duplicate arriving hours later is still dropped.
@@ -95,11 +128,31 @@ def run_dedup_stream(spark: SparkSession, input_dir: str, query_name: str,
     ``sink_path``: write the deduped stream to parquet there (the
     production shape — a file sink supports checkpoint RECOVERY, which
     the in-memory test sink does not); default is a memory table named
-    ``query_name`` for single-run assertions."""
+    ``query_name`` for single-run assertions.
+
+    ``state_store``: 'rocksdb' (default — executor-disk state with a
+    bounded memory footprint; the 100 TB configuration) or 'hdfs' (the
+    in-heap HDFSBackedStateStoreProvider; fine for tests, O(state) heap).
+    The provider is persisted in the checkpoint's offset log by Spark, so
+    a restarted query keeps its provider.
+    """
+    if state_store == "rocksdb":
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+                       ROCKSDB_PROVIDER)
+        # changelog checkpointing ships per-trigger deltas instead of full
+        # SST snapshots — the scale default
+        spark.conf.set("spark.sql.streaming.stateStore.rocksdb."
+                       "changelogCheckpointing.enabled", "true")
+    elif state_store == "hdfs":
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+                       "org.apache.spark.sql.execution.streaming.state."
+                       "HDFSBackedStateStoreProvider")
+    else:
+        raise ValueError(f"unknown state_store {state_store!r}")
     tx = (spark.readStream.schema(TRANSCRIPT_SCHEMA)
           .option("maxFilesPerTrigger", max_files_per_trigger)
           .parquet(input_dir))
-    out = dedup_stream(tx)
+    out = dedup_stream(tx, ttl_ms=ttl_ms)
     w = (out.writeStream.outputMode("append")
          .option("checkpointLocation", checkpoint)
          .trigger(availableNow=True))
@@ -107,3 +160,31 @@ def run_dedup_stream(spark: SparkSession, input_dir: str, query_name: str,
         return w.format("parquet").option("path", sink_path) \
                 .queryName(query_name).start()
     return w.format("memory").queryName(query_name).start()
+
+
+def state_metrics(query) -> list[dict]:
+    """Per-trigger state-store telemetry from StreamingQueryProgress —
+    the observability VERDICT r5 item 4 asks for: state rows, bytes, and
+    (under RocksDB) the pinned/total block-cache memory, so an operator
+    can alert on state growth long before an executor OOMs."""
+    out = []
+    for p in query.recentProgress:
+        for so in (p.get("stateOperators") or []):
+            cm = so.get("customMetrics") or {}
+            out.append({
+                "batch_id": p.get("batchId"),
+                "state_rows": so.get("numRowsTotal"),
+                "rows_updated": so.get("numRowsUpdated"),
+                # memoryUsedBytes = provider in-memory footprint (RocksDB:
+                # block cache + memtables across instances — NOT the raw
+                # state, which lives on executor disk)
+                "memory_used_bytes": so.get("memoryUsedBytes"),
+                "n_store_instances": so.get("numStateStoreInstances"),
+                # bytes actually written to the state store this trigger;
+                # divided by rows_updated this is the per-key state cost
+                "state_bytes_written": cm.get("rocksdbTotalBytesWritten"),
+                "rocksdb_sst_bytes": cm.get("rocksdbSstFileSize"),
+                "rocksdb_pinned_mem_bytes":
+                    cm.get("rocksdbPinnedBlocksMemoryUsage"),
+            })
+    return out

@@ -218,6 +218,124 @@ def _minhash_verified_pairs(corpus: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Scale-path MinHash-LSH: configurable signature width (round-5 VERDICT
+# item 5). The frozen 8-perm/4x2-band md5 spec above stays as the DuckDB
+# oracle; at 100 TB its S-curve (P ~ 1-(1-s^2)^4) is far too permissive —
+# the exact-Jaccard verify stage would drown in false candidates. The scale
+# default is 128 perms in 16 bands of 8 (P ~ 1-(1-s^8)^16: ~0.035 at s=0.5,
+# ~0.63 at s=0.8, >0.999 at s=0.9 — sharp around the 0.8 near-dup knee).
+#
+# Scale design (why this shape survives 10^12 docs):
+#   * ONE base hash per (doc, shingle) row (xxhash64, JVM-side), reduced
+#     mod the Mersenne prime 2^31-1; the P permutations are multiply-shift
+#     (a_i*h + b_i mod p) evaluated as an ARRAY expression on that row —
+#     no P-way row explosion, no Arrow transfer;
+#   * per-doc signature = element-wise array MIN (zip_with/least fold over
+#     collect_list) — the shuffle carries #docs rows of P ints, not
+#     #shingles x P rows;
+#   * banding hashes SLICES of the signature array (xxhash64 on the array)
+#     -> (band_idx, band_hash) buckets; candidates are per-bucket
+#     self-joins (never all-pairs), verified with exact Jaccard as before.
+# ---------------------------------------------------------------------------
+
+SCALED_PERMS = 128
+SCALED_BANDS = 16
+_MERSENNE31 = (1 << 31) - 1
+
+
+def _perm_params(num_perms: int, seed: int = 41) -> list[tuple[int, int]]:
+    """Deterministic multiply-shift (a, b) pairs, a odd, both < 2^31-1."""
+    params = []
+    x = seed
+    for _ in range(num_perms):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = (x >> 33) % _MERSENNE31
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b = (x >> 33) % _MERSENNE31
+        params.append((a | 1, b))
+    return params
+
+
+def minhash_bands_scaled(sh: DataFrame, *, num_perms: int = SCALED_PERMS,
+                         bands: int = SCALED_BANDS) -> DataFrame:
+    """shingles(doc_id, shingle) -> (doc_id, band_idx, band_hash)."""
+    assert num_perms % bands == 0, (num_perms, bands)
+    rows = num_perms // bands
+    p = F.lit(_MERSENNE31).cast("long")
+    base = sh.select(
+        "doc_id",
+        F.pmod(F.xxhash64("shingle"), p).alias("h"))
+    perms = F.array(*[
+        F.struct(F.lit(a).cast("long").alias("a"),
+                 F.lit(b).cast("long").alias("b"))
+        for a, b in _perm_params(num_perms)])
+    harr = base.select(
+        "doc_id",
+        F.transform(perms, lambda s: F.pmod(
+            s["a"] * F.col("h") + s["b"], p)).alias("harr"))
+    sigs = harr.groupBy("doc_id").agg(
+        F.aggregate(F.collect_list("harr"),
+                    F.array_repeat(p, num_perms),
+                    lambda acc, x: F.zip_with(acc, x,
+                                              lambda p, q: F.least(p, q)))
+        .alias("sig"))
+    return sigs.select(
+        "doc_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda i: F.struct(
+                i.alias("band_idx"),
+                F.xxhash64(F.slice("sig", i * rows + 1, rows))
+                 .alias("band_hash")))).alias("b")
+    ).select("doc_id", "b.band_idx", "b.band_hash")
+
+
+def minhash_candidate_pairs_scaled(
+        corpus: DataFrame, *, num_perms: int = SCALED_PERMS,
+        bands: int = SCALED_BANDS) -> DataFrame:
+    """(doc_a, doc_b) LSH candidates under the scale-path signature."""
+    b = minhash_bands_scaled(_shingles_df(corpus),
+                             num_perms=num_perms, bands=bands)
+    return (b.alias("a").join(
+                b.alias("b"),
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+
+
+def minhash_verified_pairs_scaled(
+        corpus: DataFrame, *, num_perms: int = SCALED_PERMS,
+        bands: int = SCALED_BANDS, tau: float = 0.5) -> DataFrame:
+    """Scale-path near-dup pairs: scaled LSH candidates verified with the
+    same exact shingle-Jaccard >= tau as the frozen spec."""
+    sh = _shingles_df(corpus)
+    sh.persist()
+    pairs = minhash_candidate_pairs_scaled(corpus, num_perms=num_perms,
+                                           bands=bands)
+    inter = (pairs.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+             .join(sh.alias("sb"),
+                   (F.col("doc_b") == F.col("sb.doc_id"))
+                   & (F.col("sa.shingle") == F.col("sb.shingle")))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count("*").cast("double").alias("n_inter")))
+    sizes = sh.groupBy("doc_id").agg(
+        F.count("*").cast("double").alias("n_sh"))
+    jac = (inter
+           .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                      .withColumnRenamed("n_sh", "na"), "doc_a")
+           .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                      .withColumnRenamed("n_sh", "nb"), "doc_b")
+           .withColumn("jac", F.col("n_inter")
+                       / (F.col("na") + F.col("nb") - F.col("n_inter")))
+           .where(F.col("jac") >= tau))
+    return jac.select("doc_a", "doc_b",
+                      S.quantize(F.col("jac")).alias("jaccard_q"))
+
+
+# ---------------------------------------------------------------------------
 # text quality scoring
 # ---------------------------------------------------------------------------
 

@@ -87,3 +87,50 @@ def test_simhash64_buckets_are_fine_grained(spark, tmp_path):
     top = (b0.groupBy("b").count().agg(F.max("count")).collect()[0][0])
     # 65536 buckets/band: the hottest bucket must hold a tiny corpus slice
     assert top <= max(4, n // 16), (top, n)
+
+
+# ---------------------------------------------------------------------------
+# Scale-path MinHash-LSH (128 perms, 16x8 bands) — round-5 VERDICT item 5
+# ---------------------------------------------------------------------------
+
+def test_scaled_lsh_matches_frozen_on_true_pairs(spark):
+    """The scale-path signature must find every high-Jaccard (>= 0.9) pair
+    the frozen 8-perm spec finds, agree exactly on verified Jaccard values,
+    and generate no more candidates (sharper S-curve)."""
+    from pyspark.sql import functions as F
+    from planet_search_spark.textops import (
+        _minhash_bands, _minhash_verified_pairs, _neardup_corpus,
+        _shingles_df, minhash_candidate_pairs_scaled,
+        minhash_verified_pairs_scaled)
+    corpus = _neardup_corpus(spark, "/root/testdata/sf0.001").cache()
+    frozen = {(r.doc_a, r.doc_b): r.jaccard_q
+              for r in _minhash_verified_pairs(corpus).collect()}
+    scaled = {(r.doc_a, r.doc_b): r.jaccard_q
+              for r in minhash_verified_pairs_scaled(corpus).collect()}
+    high = {k for k, v in frozen.items() if v >= 9000}
+    assert high <= set(scaled), sorted(high - set(scaled))[:5]
+    for k in set(scaled) & set(frozen):
+        assert scaled[k] == frozen[k], k
+    bands = _minhash_bands(_shingles_df(corpus))
+    n_frozen_cand = (bands.alias("a").join(
+        bands.alias("b"),
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select("a.doc_id", "b.doc_id").distinct().count())
+    n_scaled_cand = minhash_candidate_pairs_scaled(corpus).count()
+    assert n_scaled_cand <= n_frozen_cand, (n_scaled_cand, n_frozen_cand)
+
+
+def test_scaled_lsh_signature_is_partitioning_invariant(spark):
+    """Band hashes must be identical whether the shingle rows arrive in 1
+    partition or 32 (the element-wise min fold must be order-insensitive)."""
+    from planet_search_spark.textops import (_neardup_corpus, _shingles_df,
+                                             minhash_bands_scaled)
+    corpus = _neardup_corpus(spark, "/root/testdata/sf0.001")
+    sh = _shingles_df(corpus)
+    a = {(r.doc_id, r.band_idx): r.band_hash
+         for r in minhash_bands_scaled(sh.coalesce(1)).collect()}
+    b = {(r.doc_id, r.band_idx): r.band_hash
+         for r in minhash_bands_scaled(sh.repartition(32)).collect()}
+    assert a == b
