@@ -2,9 +2,9 @@
 item 2): wall-time + candidate-pair counts vs the all-pairs count (the
 pruning-factor evidence) + planted-duplicate recall + ANN recall@5.
 
-Corpus: deterministic 1M-turn enriched transcript texts (the same
-generator the index-build bench uses) + a mutated 10% copy (drop last
-word, doc_id + 10_000_000) — guaranteed planted near-duplicates, no
+Corpus: deterministic md5-derived mostly-unique texts (16 unique-ish
+tokens + 2 hot common tokens per doc) + a mutated 10% copy (drop last
+word, doc_id + 2^62) — the only near-duplicates are the planted ones, no
 external data. Embeddings: 1M planted-cluster vectors
 (ann.planted_embeddings, counter-hashed, partitioning-invariant).
 
@@ -32,8 +32,6 @@ from planet_search_spark.textops import (  # noqa: E402
     SCALED_BANDS, SCALED_PERMS, _shingles_df, _spark_simhash64,
     connected_components, minhash_candidate_pairs_scaled,
     minhash_verified_pairs_scaled, simhash64_banded_pairs)
-from planet_search_spark.transcripts import (  # noqa: E402
-    replicated_enriched_corpus)
 
 
 def main():
@@ -41,7 +39,6 @@ def main():
     n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
     n_vecs = int(sys.argv[3]) if len(sys.argv) > 3 else 1_000_000
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     tmp_root = os.environ.get(
         "SPARK_GRAFT_TMP",
         "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir())
@@ -50,17 +47,23 @@ def main():
                       shuffle_partitions=max(cpus, 32))
     R: dict = {"n_docs": n_docs, "n_vecs": n_vecs, "cpus": cpus}
     try:
-        # ---- corpus: 1M base docs + 10% mutated copies (planted dups) ----
-        base = (replicated_enriched_corpus(
-                    spark, sf_dir, n_docs, parallelism=max(cpus * 2, 16),
-                    out_path=f"{work}/tx.parquet")
-                .select(
-                    # unique-ish positive ids bounded < 2^61 so the +2^62
-                    # mutated-copy offset can never overflow under ANSI
-                    F.pmod(F.xxhash64(F.concat_ws("|", "conv_id",
-                                                  "turn_idx")),
-                           F.lit(1 << 61)).alias("doc_id"),
-                    "text"))
+        # ---- corpus: 1M mostly-unique docs + 10% mutated copies ----------
+        # Texts are md5-derived (16 unique-ish 4-hex tokens + 2 hot common
+        # tokens, ~16 shingles/doc): the ONLY near-duplicates are the
+        # planted mutated copies, so verified-pair counts measure the
+        # operator, not corpus replication. (The index-build bench corpus
+        # replicates base turns ~200x at 1M — those replicas are GENUINE
+        # near-dups of each other and would legitimately explode the
+        # verify stage; wrong shape for a dedup benchmark.)
+        ids = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+        k1 = F.md5(F.col("doc_id").cast("string"))
+        k2 = F.md5(F.concat(F.lit("x"), k1))
+        toks = [F.concat(F.lit("a"), F.substring(k, i + 1, 4))
+                for k in (k1, k2) for i in range(0, 32, 4)]
+        base = ids.select(
+            "doc_id",
+            F.concat_ws(" ", F.lit("the"), F.lit("data"), *toks)
+             .alias("text"))
         mut = (base.where(F.col("doc_id") % 10 == 3)
                .select((F.col("doc_id") + (1 << 62)).alias("doc_id"),
                        F.regexp_replace("text", r" [^ ]+$", "").alias("text")))
