@@ -15,6 +15,8 @@ one bucket partition — the plumbing here is exactly that plan at small scale.
 """
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -323,6 +325,41 @@ def _assign_batches(emb: DataFrame, cents_bc) -> DataFrame:
         assign, "vec_id long, cluster int")
 
 
+def _lloyd_partials(emb: DataFrame, cents_bc) -> DataFrame:
+    """One Lloyd round's sufficient statistics, computed IN the assignment
+    pass: each input partition emits at most k*D rows of
+    (cluster, dim, sx=sum of coords, c=member count) — np.add.at folds the
+    whole partition locally, so no per-vector assignment ever crosses the
+    shuffle and no join back to the embeddings is needed. The downstream
+    groupBy(cluster, dim).sum is combinable (map-side partials), so the
+    driver only ever sees the k*D aggregate."""
+
+    def part(batches):
+        c = cents_bc.value                       # (k, D)
+        k, d = c.shape
+        cn = np.linalg.norm(c, axis=1)
+        cn[cn == 0.0] = 1.0
+        cu = (c / cn[:, None]).T                 # (D, k)
+        sx = np.zeros((k, d))
+        cnt = np.zeros(k, dtype=np.int64)
+        for pdf in batches:
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            xn = np.linalg.norm(x, axis=1)
+            xn[xn == 0.0] = 1.0
+            a = ((x / xn[:, None]) @ cu).argmax(axis=1)
+            np.add.at(sx, a, x)
+            cnt += np.bincount(a, minlength=k)
+        nz = np.nonzero(cnt)[0]
+        yield pd.DataFrame({
+            "cluster": np.repeat(nz, d).astype(np.int32),
+            "dim": np.tile(np.arange(d, dtype=np.int32), len(nz)),
+            "sx": sx[nz].ravel(),
+            "c": np.repeat(cnt[nz], d)})
+
+    return emb.select("embedding").mapInPandas(
+        part, "cluster int, dim int, sx double, c long")
+
+
 def kmeans_train(emb: DataFrame, k: int | None = None, *,
                  sample_size: int = 100_000, max_iters: int = 20,
                  tol: float = 1e-4, seed: int = 13) -> dict:
@@ -330,7 +367,11 @@ def kmeans_train(emb: DataFrame, k: int | None = None, *,
     'iters': int, 'movement': float, 'k': int}.
 
     The input never leaves the cluster except the bounded init sample;
-    every Lloyd round is one narrow mapInPandas + one k·D-row aggregate.
+    every Lloyd round is one narrow mapInPandas (assignment + mean
+    partials fused) + one combinable k·D-row aggregate. Driver memory is
+    bounded by the (k, D) centroid matrix + the k·D sufficient-statistics
+    frame per round (k=sqrt(10^9), D=1024 -> ~260 MB transient, fine for a
+    cluster driver) — never by N.
     """
     spark = emb.sparkSession
     n = emb.count()
@@ -342,25 +383,30 @@ def kmeans_train(emb: DataFrame, k: int | None = None, *,
                    .limit(int(sample_size)).collect())
     sample = np.stack([np.asarray(r["embedding"], dtype=np.float64)
                        for r in sample_rows])
-    cents = _kmeanspp_init(sample, k, seed)
+    # L2-normalize the seed sample so k-means++ optimizes the SAME
+    # spherical geometry the assignment uses (cosine == Euclidean on the
+    # unit sphere); unnormalized seeding chases norm outliers instead of
+    # directions. (The init itself is a k-pass vectorized loop over the
+    # bounded sample: O(k * sample_size * D) driver flops — cap
+    # sample_size, not N, governs it.)
+    _n = np.linalg.norm(sample, axis=1)
+    _n[_n == 0.0] = 1.0
+    cents = _kmeanspp_init(sample / _n[:, None], k, seed)
     movement, iters = float("inf"), 0
     for iters in range(1, max_iters + 1):
         bc = spark.sparkContext.broadcast(cents)
-        assigned = _assign_batches(emb, bc)
-        dims = (assigned.join(emb.select("vec_id", "embedding"), "vec_id")
-                .select("cluster",
-                        F.posexplode("embedding").alias("dim", "x")))
-        rows = (dims.groupBy("cluster", "dim")
-                .agg(F.sum(F.col("x").cast("double")).alias("sx"),
-                     F.count("*").alias("c"))
-                .collect())                      # k*D rows — bounded
+        # assignment + mean partials fused in ONE narrow pass; the driver
+        # receives exactly the (k, D) sufficient-statistics aggregate and
+        # scatters it vectorized — no per-vector row ever reaches the
+        # driver and no Python loop over k*D entries.
+        pdf = (_lloyd_partials(emb, bc)
+               .groupBy("cluster", "dim")
+               .agg(F.sum("sx").alias("sx"), F.sum("c").alias("c"))
+               .toPandas())                      # k*D rows — bounded
         new = cents.copy()
-        agg: dict = {}
-        for r in rows:
-            agg.setdefault(r["cluster"], {})[r["dim"]] = (r["sx"], r["c"])
-        for cl, dmap in agg.items():
-            for d, (sx, c) in dmap.items():
-                new[cl, d] = sx / c
+        cl = pdf["cluster"].to_numpy(dtype=np.int64)
+        dm = pdf["dim"].to_numpy(dtype=np.int64)
+        new[cl, dm] = pdf["sx"].to_numpy() / pdf["c"].to_numpy()
         movement = float(np.linalg.norm(new - cents, axis=1).max())
         cents = new
         bc.destroy()
@@ -426,19 +472,70 @@ def planted_embeddings(spark: SparkSession, n: int, *, dim: int = 32,
         gen, "vec_id long, embedding array<double>, label int")
 
 
-@_register("ann_ivf_scaled_assign", None)  # iterative training: rows-only
-def q_ann_ivf_scaled_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gate surface for the scale-path IVF: k-means++ init (seeded,
-    deterministic), Lloyd to movement < tol, then full assignment.
-    No SQL oracle (iterative algorithm — the driver's weaker rows-only
-    check applies); correctness is pinned by pytest invariants
-    (tests/test_ann.py: every vector lands on its argmax centroid, the
-    planted ``label`` clusters are recovered, recall@5 vs brute force)."""
+def kmeans_scaled_train_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end scale-path IVF surface (k-means++ init, Lloyd to tol,
+    full assignment). The iterative training is not SQL-expressible, so
+    this is pytest-pinned only (tests/test_ann.py: every vector lands on
+    its argmax centroid, the planted ``label`` clusters are recovered,
+    recall@5 vs brute force) — the GATE query ``ann_ivf_scaled_assign``
+    below uses the persisted deterministic model instead, which IS
+    DuckDB-checkable."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     model = kmeans_train(emb, max_iters=10, tol=1e-3)
     return (ivf_assign_scaled(emb, model)
             .select("vec_id", F.col("cluster").cast("long").alias("cluster"))
             .orderBy("vec_id"))
+
+
+# The trained model, frozen: scripts/train_scaled_centroids.py runs the
+# deterministic kmeans_train (seed 13, sf0.01 embeddings, converged in 7
+# rounds) once and persists the (k=22, D=64) centroid matrix. Training is
+# iterative; ASSIGNMENT under the frozen model is a pure argmax-cosine and
+# gets a full value-checked DuckDB oracle (the ann_ivf_assign pattern) —
+# this is how the production flow ships too: train offline, broadcast the
+# frozen centroid table to the assignment job.
+_SCALED_CENTS = _os.path.abspath(_os.path.join(
+    _os.path.dirname(__file__), "..", "fixtures",
+    "ivf_scaled_centroids.parquet"))
+
+
+@_register("ann_ivf_scaled_assign", f"""
+WITH cents AS (
+  SELECT centroid_id, cv FROM read_parquet('{_SCALED_CENTS}')
+),
+scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         {S.SQL_QUANTIZE.format(x=_SQL_COSINE.format(a='e.embedding', b='c.cv'))} AS sim_q
+  FROM embeddings e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, centroid_id, sim_q,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim_q DESC, centroid_id) AS rn
+  FROM scored
+)
+SELECT vec_id, CAST(centroid_id AS BIGINT) AS centroid_id, sim_q
+FROM assign WHERE rn = 1
+""")
+def q_ann_ivf_scaled_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax-cosine assignment under the frozen scale-trained model —
+    centroids broadcast, quantized sim for a cross-engine-deterministic
+    tie-break (centroid_id asc). At 100 TB this is the exact production
+    plan: a (k, D) broadcast table + one narrow scan."""
+    from pyspark.sql.window import Window
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = (spark.read.parquet(_SCALED_CENTS)
+             .select("centroid_id", "cv"))
+    scored = (emb.crossJoin(F.broadcast(cents))
+              .select("vec_id", "centroid_id",
+                      S.quantize(cosine(F.col("embedding"), F.col("cv")))
+                       .alias("sim_q")))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim_q"), "centroid_id")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id",
+                    F.col("centroid_id").cast("long").alias("centroid_id"),
+                    "sim_q"))
 
 
 @_register("ann_kmeans_refine", f"""

@@ -35,6 +35,8 @@ map 1:1 onto Iceberg (atomic snapshot commit replaces live.json).
 """
 from __future__ import annotations
 
+import contextlib
+import fcntl
 import json
 import math
 import os
@@ -264,6 +266,11 @@ def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
                 "appends need a fresh segment name (resume=True to resume)")
         shutil.rmtree(ckpt_dir, ignore_errors=True)
     os.makedirs(ckpt_dir, exist_ok=True)
+    # in-flight marker: a building (pre-publish) segment directory is NOT
+    # garbage — GC skips .building dirs until building_grace_sec expires;
+    # publish (_finalize_segment) removes the marker under the live lock.
+    with open(os.path.join(seg_dir, ".building"), "w") as f:
+        f.write(segment)
 
     def done(name: str) -> bool:
         return resume and os.path.exists(os.path.join(ckpt_dir, name))
@@ -628,6 +635,25 @@ def next_seg_id(out_dir: str) -> int:
     return 1 + max((_seg_id_of(s) for s in on_disk), default=0)
 
 
+@contextlib.contextmanager
+def _live_lock(out_dir: str):
+    """Serialize every live.json read-modify-write (publish, GC) with an
+    advisory fcntl lock on a sidecar lockfile. os.replace makes each write
+    atomic for READERS, but two concurrent WRITERS (a publish landing
+    mid-GC, two appends racing) would otherwise clobber each other's
+    snapshot — exactly the segment-loss / id-reuse window. The lock is
+    held only around metadata mutation (microseconds), never around Spark
+    work, so builds don't serialize on it; on a shared filesystem the
+    same role is played by the metastore/catalog transaction."""
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, ".live.lock"), "w") as lf:
+        fcntl.flock(lf, fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(lf, fcntl.LOCK_UN)
+
+
 def _finalize_segment(spark: SparkSession, out_dir: str, seg_dir: str,
                       segment: str, term_df: DataFrame, groups: list,
                       postings_path: str, *, n_docs: int, avgdl: float,
@@ -660,36 +686,45 @@ def _finalize_segment(spark: SparkSession, out_dir: str, seg_dir: str,
                  ).to_parquet(os.path.join(seg_dir, "lineage.parquet"))
 
     live_path = os.path.join(out_dir, "live.json")
-    segments, prev_next, prev, retired = [segment], 1, [], {}
-    if os.path.exists(live_path):
-        with open(live_path) as f:
-            prev_live = json.load(f)
-        prev = prev_live.get("segments", [])
-        prev_next = int(prev_live.get("next_seg_id", 1))
-        retired = dict(prev_live.get("retired", {}))
-    if replace_segments:
-        # compaction: the merged segment atomically REPLACES its inputs;
-        # segments appended concurrently since the merge started survive
-        segments = [s for s in prev if s not in replace_segments] + [segment]
-    elif append:
-        segments = prev + [s for s in segments if s not in prev]
-    # monotonic counter: never reissue an id, even across compactions and
-    # retained (non-live) segment directories
-    nxt = max(prev_next, 1 + max(_seg_id_of(s) for s in segments))
-    # retirement tombstones: the reader-lease grace period must run from
-    # the moment a segment LEFT the live set, not from its directory mtime
-    # (= build-completion time — a compacted-away segment is almost always
-    # already older than any grace window at retirement)
-    now = time.time()
-    for s in prev:
-        if s not in segments and s not in retired:
-            retired[s] = now
-    retired = {s: t for s, t in retired.items() if s not in segments}
-    tmp = os.path.join(out_dir, ".live.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump({"segments": segments, "next_seg_id": nxt,
-                   "published_at": now, "retired": retired}, f)
-    os.replace(tmp, live_path)
+    with _live_lock(out_dir):
+        # segment becomes live in the same critical section that clears
+        # its in-flight marker, so GC (which also takes the lock) can
+        # never observe "not live AND not building" for a healthy segment
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(os.path.join(seg_dir, ".building"))
+        segments, prev_next, prev, retired = [segment], 1, [], {}
+        if os.path.exists(live_path):
+            with open(live_path) as f:
+                prev_live = json.load(f)
+            prev = prev_live.get("segments", [])
+            prev_next = int(prev_live.get("next_seg_id", 1))
+            retired = dict(prev_live.get("retired", {}))
+        if replace_segments:
+            # compaction: the merged segment atomically REPLACES its
+            # inputs; segments appended concurrently since the merge
+            # started survive
+            segments = ([s for s in prev if s not in replace_segments]
+                        + [segment])
+        elif append:
+            segments = prev + [s for s in segments if s not in prev]
+        # monotonic counter: never reissue an id, even across compactions
+        # and retained (non-live) segment directories
+        nxt = max(prev_next, 1 + max(_seg_id_of(s) for s in segments))
+        # retirement tombstones: the reader-lease grace period must run
+        # from the moment a segment LEFT the live set, not from its
+        # directory mtime (= build-completion time — a compacted-away
+        # segment is almost always already older than any grace window at
+        # retirement)
+        now = time.time()
+        for s in prev:
+            if s not in segments and s not in retired:
+                retired[s] = now
+        retired = {s: t for s, t in retired.items() if s not in segments}
+        tmp = os.path.join(out_dir, ".live.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"segments": segments, "next_seg_id": nxt,
+                       "published_at": now, "retired": retired}, f)
+        os.replace(tmp, live_path)
     return metrics
 
 
@@ -725,7 +760,8 @@ def incremental_update(spark: SparkSession, out_dir: str, new_tx: DataFrame,
                        doc_base=doc_base, append=True, **build_kw)
 
 
-def gc_segments(out_dir: str, *, grace_sec: float = 0.0) -> list:
+def gc_segments(out_dir: str, *, grace_sec: float = 0.0,
+                building_grace_sec: float = 86400.0) -> list:
     """Delete segment directories that are NOT in live.json and whose
     RETIREMENT is older than ``grace_sec`` — the missing sweep behind
     compact_index's "inputs stay on disk for readers holding the old
@@ -737,49 +773,49 @@ def gc_segments(out_dir: str, *, grace_sec: float = 0.0) -> list:
     ``retired`` tombstone the publish wrote into live.json (the moment the
     segment left the live set — dir mtime is build-completion time and is
     almost always already past any grace window at retirement); directories
-    with no tombstone (crashed partial builds) fall back to dir mtime.
-    Removed tombstones are pruned from live.json. Returns removed names."""
+    with no tombstone (crashed partial builds) fall back to dir mtime,
+    EXCEPT while a fresh ``.building`` marker shows the build in flight
+    (or crashed-but-resumable): those are skipped until
+    ``building_grace_sec`` expires. Removed tombstones are pruned from
+    live.json. Returns removed names."""
     live_path = os.path.join(out_dir, "live.json")
     seg_root = os.path.join(out_dir, "segments")
     if not (os.path.exists(live_path) and os.path.isdir(seg_root)):
         return []
-    with open(live_path) as f:
-        live_doc = json.load(f)
-    live = set(live_doc["segments"])
-    retired = dict(live_doc.get("retired", {}))
+    # The entire sweep runs under the live.json writer lock: no publish
+    # can land between the live-set read, the rmtree, and the tombstone
+    # prune (the round-5 unlocked read-modify-write narrowed those races
+    # but could not close them). The lock is metadata-cheap for
+    # publishers; rmtree of retired segments is the only slow work held
+    # under it and GC is an offline/maintenance call.
     removed = []
-    now = time.time()
-    for s in sorted(os.listdir(seg_root)):
-        d = os.path.join(seg_root, s)
-        if s in live or not os.path.isdir(d):
-            continue
-        since = retired.get(s, os.path.getmtime(d))
-        if now - since >= grace_sec:
-            # re-check against the CURRENT live set right before deleting:
-            # a publish landing after the snapshot read above would make s
-            # live with no tombstone, and the mtime fallback at grace 0
-            # would otherwise delete a just-published segment.
-            with open(live_path) as f:
-                if s in set(json.load(f)["segments"]):
-                    continue
-            shutil.rmtree(d)
-            removed.append(s)
-    if removed and any(s in retired for s in removed):
-        # Re-read live.json IMMEDIATELY before the write and prune ONLY the
-        # removed tombstone keys from its CURRENT content: a publish
-        # (_finalize_segment) may have landed during the rmtree sweep above,
-        # and writing back the stale snapshot would clobber the newly
-        # published segment list / next_seg_id (segment loss + id reuse).
-        # Appends concurrent with GC are in-contract for the LSM layout.
+    with _live_lock(out_dir):
         with open(live_path) as f:
-            cur_doc = json.load(f)
-        cur_retired = dict(cur_doc.get("retired", {}))
-        pruned = {s: t for s, t in cur_retired.items() if s not in removed}
-        if pruned != cur_retired:
-            cur_doc["retired"] = pruned
+            live_doc = json.load(f)
+        live = set(live_doc["segments"])
+        retired = dict(live_doc.get("retired", {}))
+        now = time.time()
+        for s in sorted(os.listdir(seg_root)):
+            d = os.path.join(seg_root, s)
+            if s in live or not os.path.isdir(d):
+                continue
+            if os.path.exists(os.path.join(d, ".building")):
+                # in-flight (or crashed-resumable) build: never collect
+                # via the mtime fallback while the marker is fresh —
+                # publish clears the marker under this same lock
+                if now - os.path.getmtime(
+                        os.path.join(d, ".building")) < building_grace_sec:
+                    continue
+            since = retired.get(s, os.path.getmtime(d))
+            if now - since >= grace_sec:
+                shutil.rmtree(d)
+                removed.append(s)
+        pruned = {s: t for s, t in retired.items() if s not in removed}
+        if pruned != retired:
+            live_doc["retired"] = pruned
             tmp = os.path.join(out_dir, ".live.json.tmp")
             with open(tmp, "w") as f:
-                json.dump(cur_doc, f)
+                json.dump(live_doc, f)
             os.replace(tmp, live_path)
     return removed
 
@@ -862,6 +898,11 @@ def compact_index(spark: SparkSession, out_dir: str, *,
     if not resume:
         shutil.rmtree(ckpt_dir, ignore_errors=True)
     os.makedirs(ckpt_dir, exist_ok=True)
+    # in-flight marker: a building (pre-publish) segment directory is NOT
+    # garbage — GC skips .building dirs until building_grace_sec expires;
+    # publish (_finalize_segment) removes the marker under the live lock.
+    with open(os.path.join(seg_dir, ".building"), "w") as f:
+        f.write(segment)
 
     def done(name: str) -> bool:
         return resume and os.path.exists(os.path.join(ckpt_dir, name))

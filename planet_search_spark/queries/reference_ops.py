@@ -589,12 +589,20 @@ def resolve_fixpoint(refs: DataFrame) -> tuple[DataFrame, int]:
         F.when(F.col("parent").isNull(), F.lit(0))
          .otherwise(F.lit(1)).alias("hops")).localCheckpoint(eager=True)
     for rounds in range(1, FIXPOINT_MAX_ROUNDS + 1):
+        # LEFT join: a node whose current ancestor is NOT itself present
+        # in refs (a dangling parent id in a sparse id space) must be kept
+        # with its ancestor treated as a root — an inner join would
+        # silently drop it while the recursive-CTE oracle reports the
+        # dangling parent as the root.
         nxt = (jump.alias("a")
                .join(jump.alias("b"),
-                     F.col("a.anc") == F.col("b.node"))
+                     F.col("a.anc") == F.col("b.node"), "left")
                .select(F.col("a.node").alias("node"),
-                       F.col("b.anc").alias("anc"),
-                       (F.col("a.hops") + F.col("b.hops")).alias("hops"))
+                       F.coalesce(F.col("b.anc"), F.col("a.anc"))
+                        .alias("anc"),
+                       (F.col("a.hops")
+                        + F.coalesce(F.col("b.hops"), F.lit(0)))
+                       .alias("hops"))
                .localCheckpoint(eager=True))
         moved = (nxt.join(jump.select("node",
                                       F.col("hops").alias("old_hops")),

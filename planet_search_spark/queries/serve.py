@@ -910,7 +910,7 @@ class LocalSearcher:
 
         boosts = ({FIELDS[f]: float(b) for f, b in FIELD_BOOSTS.items()}
                   if params.multifield else {FIELDS["text"]: 1.0})
-        per_fo = []   # (field_id, orig, doc_ids, dismax-over-expansions)
+        raw_fo = []   # (field_id, orig, [(doc_ids, scores) per expansion])
         for fid in field_ids:
             n_f, avgdl_f = self._field_stats(FIELD_NAMES[fid])
             posts = self._postings_arrays(exp_terms, fid)
@@ -925,25 +925,14 @@ class LocalSearcher:
                         tfs.astype(np.float64), dls.astype(np.float64),
                         self._df(e, fid, float(ids.size)),
                         n_f, avgdl_f)))
-                if not arrs:
-                    continue
-                if len(arrs) == 1:
-                    # no-expansion fast path: posting ids are sorted-unique
-                    # by the _postings_arrays invariant, so the dis_max
-                    # over one list is the list itself — skips the
-                    # unique-merge + searchsorted scatter that dominated
-                    # the hot-query profile
-                    uniq, smax = arrs[0]
-                else:
-                    uniq = np.unique(np.concatenate([a[0] for a in arrs]))
-                    smax = np.zeros(uniq.size)
-                    for ids, s in arrs:
-                        np.maximum.at(smax, np.searchsorted(uniq, ids), s)
-                per_fo.append((fid, o, uniq, smax))
-        if not per_fo:
+                if arrs:
+                    raw_fo.append((fid, o, arrs))
+        if not raw_fo:
             return []
         dv_ids, dv_prior, dv_ts = self._doc_values()
-        total_mass = sum(u.size for _, _, u, _ in per_fo)
+        # raw postings mass (pre-dedup): the dense/sparse gate input, and
+        # the quantity the per-query work is actually linear in
+        total_mass = sum(a[0].size for _, _, arrs in raw_fo for a in arrs)
         if self._dv_dense and 8 * total_mass >= dv_ids.size:
             # DENSE accumulation (round 4, profiled): on hot queries the
             # candidate set approaches the corpus, and the sparse path's
@@ -961,14 +950,40 @@ class LocalSearcher:
             # (memory is dominated by the float64 bm_d array anyway)
             nmatch_d = np.zeros(n_dv, dtype=np.int32)
             m_buf = np.empty(n_dv, dtype=bool)
+            # Expanded terms (prefix: up to 200 lists) dismax straight into
+            # doc-indexed scratch — gather/np.maximum/scatter per list is
+            # O(total postings), replacing the global np.unique sort-merge
+            # + searchsorted scatter (O(total·log total)) that set the
+            # single-shard prefix p50 at 10M docs. Values are identical:
+            # same max over the same per-expansion scores, same (fid, orig)
+            # addition order into bm_d. Scratch reset walks only touched
+            # slots, so rare-term queries don't pay O(N) zeroing here.
+            sm_d = t_buf = None
             for o in exp_by_orig:
                 m_buf[:] = False
-                for fid, o2, u, s in per_fo:
+                for fid, o2, arrs in raw_fo:
                     if o2 != o:
                         continue
-                    ix = u - base0   # u is sorted-unique: plain fancy
-                    bm_d[ix] += boosts[fid] * s   # indexing, no add.at
-                    m_buf[ix] = True
+                    if len(arrs) == 1:
+                        # posting ids are sorted-unique by the
+                        # _postings_arrays invariant: plain fancy indexing
+                        ids, s = arrs[0]
+                        ix = ids - base0
+                        bm_d[ix] += boosts[fid] * s
+                        m_buf[ix] = True
+                        continue
+                    if sm_d is None:
+                        sm_d = np.zeros(n_dv)
+                        t_buf = np.zeros(n_dv, dtype=bool)
+                    for ids, s in arrs:
+                        ix = ids - base0
+                        sm_d[ix] = np.maximum(sm_d[ix], s)
+                        t_buf[ix] = True
+                    touched = np.flatnonzero(t_buf)
+                    bm_d[touched] += boosts[fid] * sm_d[touched]
+                    m_buf[touched] = True
+                    sm_d[touched] = 0.0
+                    t_buf[touched] = False
                 nmatch_d += m_buf
             mask = nmatch_d > 0
             if params.operator == "and":
@@ -985,6 +1000,18 @@ class LocalSearcher:
             nmatch = nmatch_d[cand].astype(np.int64)
             dv_ix = cand
         else:
+            # sparse path (rare-term queries under the mass gate): the
+            # per-(field, orig) unique-merge is cheap here by construction
+            per_fo = []   # (field_id, orig, doc_ids, dismax)
+            for fid, o, arrs in raw_fo:
+                if len(arrs) == 1:
+                    uniq, smax = arrs[0]
+                else:
+                    uniq = np.unique(np.concatenate([a[0] for a in arrs]))
+                    smax = np.zeros(uniq.size)
+                    for ids, s in arrs:
+                        np.maximum.at(smax, np.searchsorted(uniq, ids), s)
+                per_fo.append((fid, o, uniq, smax))
             g_ids = np.unique(np.concatenate([u for _, _, u, _ in per_fo]))
             bm = np.zeros(g_ids.size)
             matched = {o: np.zeros(g_ids.size, dtype=bool)

@@ -265,20 +265,28 @@ def minhash_bands_scaled(sh: DataFrame, *, num_perms: int = SCALED_PERMS,
     base = sh.select(
         "doc_id",
         F.pmod(F.xxhash64("shingle"), p).alias("h"))
-    perms = F.array(*[
-        F.struct(F.lit(a).cast("long").alias("a"),
-                 F.lit(b).cast("long").alias("b"))
-        for a, b in _perm_params(num_perms)])
-    harr = base.select(
-        "doc_id",
-        F.transform(perms, lambda s: F.pmod(
-            s["a"] * F.col("h") + s["b"], p)).alias("harr"))
-    sigs = harr.groupBy("doc_id").agg(
-        F.aggregate(F.collect_list("harr"),
-                    F.array_repeat(p, num_perms),
-                    lambda acc, x: F.zip_with(acc, x,
-                                              lambda p, q: F.least(p, q)))
-        .alias("sig"))
+    # Signature fold as P independent F.min aggregates (one projected
+    # column per permutation) instead of a collect_list array fold:
+    # F.min has a map-side partial aggregate, so the shuffle carries ONE
+    # partially-folded P-wide row per (doc, map partition) — O(docs * P)
+    # bytes — where the collect_list fold shipped every per-shingle
+    # P-element array (O(shingles * P), ~17 GB at 1.1M docs, the measured
+    # round-5 cost center) and materialized all of a doc's arrays in one
+    # aggregation buffer. Values are bit-identical (same multiply-shift
+    # hashes, min is order-free), pinned by the partitioning-invariance
+    # test. Docs with zero shingles have no rows here and never reach the
+    # fold, so no sentinel signature can leak into banding.
+    perm_cols = [
+        F.pmod(F.lit(a).cast("long") * F.col("h") + F.lit(b), p)
+         .alias(f"_h{i}")
+        for i, (a, b) in enumerate(_perm_params(num_perms))]
+    sigs = (base.select("doc_id", *perm_cols)
+            .groupBy("doc_id")
+            .agg(*[F.min(f"_h{i}").alias(f"_m{i}")
+                   for i in range(num_perms)])
+            .select("doc_id",
+                    F.array(*[F.col(f"_m{i}")
+                              for i in range(num_perms)]).alias("sig")))
     return sigs.select(
         "doc_id",
         F.explode(F.transform(

@@ -30,8 +30,12 @@ def test_registry_tail_is_only_trivial_ops():
 
 
 # genuinely non-SQL-expressible ops (iterative algorithms): the driver
-# records a rows-only check; correctness is pinned by pytest instead
-KNOWN_ORACLE_LESS = {"ann_ivf_scaled_assign"}
+# records a rows-only check; correctness is pinned by pytest instead.
+# Round 6: empty — ann_ivf_scaled_assign now assigns under the frozen
+# persisted model (fixtures/ivf_scaled_centroids.parquet) with a full
+# DuckDB oracle; the iterative TRAINING surface stays pytest-pinned
+# (ann.kmeans_scaled_train_assign, tests/test_ann.py).
+KNOWN_ORACLE_LESS: set[str] = set()
 
 
 def test_every_query_has_an_oracle_or_is_known_weak():

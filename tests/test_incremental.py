@@ -323,3 +323,36 @@ def test_gc_grace_runs_from_retirement_under_live_reader(spark, tmp_path):
     assert after_doc.get("retired") == {}
     assert set(os.listdir(os.path.join(out, "segments"))) == \
         set(after_doc["segments"])
+
+
+def test_gc_never_collects_inflight_building_segment(spark, tmp_path):
+    """Round-5 ADVICE (medium): a fully-built-but-not-yet-published (or
+    crashed-resumable) segment carries a .building marker and must survive
+    GC at grace 0 via the mtime fallback; publish clears the marker under
+    the live.json writer lock, and a STALE marker past building_grace_sec
+    is reclaimed."""
+    import time as _time
+
+    from planet_search_spark.indexing.build import gc_segments
+
+    out = str(tmp_path / "bldidx")
+    kw = dict(n_buckets=4, block_size=16, n_groups=1)
+    build_index(spark, synthesize_transcripts(spark, n_convs=4, seed=71),
+                out, **kw)                       # seg_1, published
+    seg_root = os.path.join(out, "segments")
+    assert not os.path.exists(
+        os.path.join(seg_root, "seg_1", ".building"))
+    # simulate a mid-build segment: dir exists, marker present, not live
+    mid = os.path.join(seg_root, "seg_9")
+    os.makedirs(os.path.join(mid, "_ckpt"))
+    with open(os.path.join(mid, ".building"), "w") as f:
+        f.write("seg_9")
+    assert gc_segments(out, grace_sec=0.0) == []
+    assert os.path.isdir(mid)
+    # a stale marker (crashed build past its own grace) IS reclaimed
+    day_ago = _time.time() - 86400
+    os.utime(os.path.join(mid, ".building"), (day_ago, day_ago))
+    os.utime(mid, (day_ago, day_ago))
+    assert gc_segments(out, grace_sec=0.0,
+                       building_grace_sec=3600.0) == ["seg_9"]
+    assert not os.path.exists(mid)

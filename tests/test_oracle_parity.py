@@ -60,3 +60,23 @@ def test_fixpoint_bounded_rounds(spark):
     assert rounds2 <= 8, rounds2
     got = {r.node: r.hops for r in resolved2.collect()}
     assert got["n63"] == 63 and got["n00"] == 0
+
+
+def test_fixpoint_dangling_parent_is_treated_as_root(spark):
+    """Round-5 ADVICE: a node whose parent id is NOT itself present in
+    refs (sparse id space) must survive resolution with the dangling
+    parent reported as its root — the recursive-CTE oracle's semantics —
+    not be silently dropped by an inner self-join."""
+    from planet_search_spark.queries.reference_ops import resolve_fixpoint
+    refs = spark.createDataFrame(
+        [("a", None),        # real root
+         ("b", "a"),
+         ("c", "ghost"),     # dangling parent: 'ghost' has no refs row
+         ("d", "c")],
+        "node string, parent string")
+    resolved, _ = resolve_fixpoint(refs)
+    rows = {r.node: (r.anc, r.hops) for r in resolved.collect()}
+    assert set(rows) == {"a", "b", "c", "d"}, rows
+    assert rows["c"] == ("ghost", 1)
+    assert rows["d"] == ("ghost", 2)
+    assert rows["b"] == ("a", 1)
