@@ -104,6 +104,20 @@ def main(argv: list[str] | None = None):
     gc.add_argument("--index", required=True)
     gc.add_argument("--grace-sec", type=float, default=3600.0)
 
+    ut = sub.add_parser(
+        "update-templates",
+        help="store this build's search templates on a live index and "
+             "exit, without building anything — updates the queries of a "
+             "live index without a reindex (the reference's "
+             "update-templates-only branch, MainClass.java:50-63); "
+             "new reader opens / daemon restarts pick the config up")
+    ut.add_argument("--index", required=True)
+    ut.add_argument("--set", dest="sets", action="append", default=[],
+                    metavar="KEY=VALUE",
+                    help="override a template tunable (repeatable), e.g. "
+                         "--set tier_exact=20 --set "
+                         "field_boosts='{\"text\": 5, \"meta\": 1}'")
+
     sv = sub.add_parser("serve", help="HTTP serving daemon for one doc "
                         "shard (NO Spark: the stateless pyarrow/numpy "
                         "reader over the live segments)")
@@ -115,6 +129,14 @@ def main(argv: list[str] | None = None):
                     help="comma-separated segment subset (a doc shard)")
 
     args = p.parse_args(argv)
+    if args.cmd == "update-templates":   # no Spark, no index touch
+        from .queries.search_config import update_templates
+        overrides = {}
+        for kv in args.sets:
+            k, _, v = kv.partition("=")
+            overrides[k.strip()] = json.loads(v)
+        print(json.dumps(update_templates(args.index, overrides), indent=1))
+        return
     if args.cmd == "serve":      # serving never needs a SparkSession
         from .queries.httpd import main as httpd_main
         httpd_argv = [args.index, "--host", args.host,

@@ -118,6 +118,12 @@ class LocalSearcher:
                 f"index at {out_dir!r} predates the per-field segment "
                 "layout; rebuild it (corpus_stats.json lacks 'fields')")
         self.avgdl = self.sum_dl / self.n_docs
+        # template config snapshot (update-templates-only analogue,
+        # MainClass.java:50-63): query-side tunables — boosts, tiers,
+        # function_score weights — pushed to a live index without a
+        # reindex; absent file == code defaults (search_config.py)
+        from .search_config import load_config
+        self.cfg = load_config(out_dir)
         self._postings = [ds.dataset(os.path.join(sd, "postings"),
                                      partitioning="hive")
                           for sd in self.seg_dirs]
@@ -654,8 +660,8 @@ class LocalSearcher:
         score = max_f boost_f * s_f (tie_breaker 0.0). ``prune=True``
         enables serving-side block-max WAND (:meth:`_dismax_pruned` —
         exact, same results)."""
-        from ..indexing.build import FIELDS, FIELD_BOOSTS
-        boosts = boosts or FIELD_BOOSTS
+        from ..indexing.build import FIELDS
+        boosts = boosts or self.cfg["field_boosts"]
         terms = sorted(set(A.py_tokens(query)))
         if not terms:
             return []
@@ -868,7 +874,7 @@ class LocalSearcher:
         are >= 0), so only docs with ``base + max_addon >= theta`` are
         hydrated — never the whole candidate set, never the whole store.
         """
-        from ..indexing.build import FIELDS, FIELD_NAMES, FIELD_BOOSTS
+        from ..indexing.build import FIELDS, FIELD_NAMES
         q_terms = A.py_tokens(params.query)
         q_kw = " ".join(q_terms)
         q_kw_hash = hashlib.md5(q_kw.encode("utf-8")).hexdigest()
@@ -889,7 +895,8 @@ class LocalSearcher:
                 m = _in_sorted(ids, allowed)
                 ids, prior = ids[m], prior[m]
             order = np.lexsort((ids, -prior))[:params.k]
-            rows = [{"doc_id": int(ids[i]), "score": 12.0} for i in order]
+            rows = [{"doc_id": int(ids[i]),
+                     "score": self.cfg["tier_exact"]} for i in order]
             return self._hydrate(rows)
 
         if not q_terms:
@@ -908,7 +915,8 @@ class LocalSearcher:
             exp_by_orig.setdefault(t, set()).update(exps)
         exp_terms = sorted({e for s in exp_by_orig.values() for e in s})
 
-        boosts = ({FIELDS[f]: float(b) for f, b in FIELD_BOOSTS.items()}
+        boosts = ({FIELDS[f]: float(b)
+                   for f, b in self.cfg["field_boosts"].items()}
                   if params.multifield else {FIELDS["text"]: 1.0})
         raw_fo = []   # (field_id, orig, [(doc_ids, scores) per expansion])
         for fid in field_ids:
@@ -1036,15 +1044,17 @@ class LocalSearcher:
 
         exact_ids = self._kw_ids(q_kw_hash)
         is_exact = _in_sorted(g_ids, exact_ids)
+        cfg = self.cfg
         if params.phrase_tiers:
             # constant_score tiers inside the bool score, pre-saturation
-            bm = bm + 12.0 * is_exact
+            bm = bm + cfg["tier_exact"] * is_exact
             contained = np.fromiter(
                 (r["doc_id"] for r in self.phrase_match(params.query)),
                 dtype=np.int64)
-            bm = bm + 6.0 * _in_sorted(g_ids, contained)
+            bm = bm + cfg["tier_phrase"] * _in_sorted(g_ids, contained)
 
-        base = S.W_TEXT * bm / (bm + S.K_TEXT) + S.W_EXACT * is_exact
+        base = (cfg["w_text"] * bm / (bm + cfg["k_text"])
+                + cfg["w_exact"] * is_exact)
         # function_score add-ons from the numeric doc values — one
         # vectorized gather regardless of candidate-set size (the earlier
         # survivor-bound point reads degenerated on flat-scored hot queries
@@ -1052,10 +1062,12 @@ class LocalSearcher:
         # dv_ix was computed per accumulation branch (dense: direct
         # candidate indices; sparse: dense offset or binary search)
         ix = dv_ix
-        score = base + S.W_PRIOR * dv_prior[ix]
+        score = base + cfg["w_prior"] * dv_prior[ix]
         if params.recency:
-            x = np.maximum(0.0, params.now_epoch - dv_ts[ix] - S.REC_OFFSET)
-            score = score + S.W_REC * np.exp(-0.5 * (x / S.REC_SCALE) ** 2)
+            x = np.maximum(0.0, params.now_epoch - dv_ts[ix]
+                           - cfg["rec_offset"])
+            score = score + cfg["w_rec"] * np.exp(
+                -0.5 * (x / cfg["rec_scale"]) ** 2)
         ids, nm, k = g_ids, nmatch, params.k
         kk = min(k, ids.size)
         if kk < ids.size:
