@@ -205,6 +205,15 @@ def main():
         p_exp = SearchParams(query="spark mer", prefix=True, fuzzy=False,
                              multifield=True)
         timings["serve_prefix_search_p50"] = p50(lambda: srv.search(p_exp))
+        # round-6 finding: "spark mer" expands to ONE term ("merge") on the
+        # enriched vocab, so the query above is really a hot-2-term dense
+        # query. "merge pre" hits the designed shared-prefix family
+        # (pre+3hex = 4096 terms, MAX_EXPANSIONS caps at 200) — the
+        # genuine 200-expansion measurement for the expanded-dismax path.
+        p_exp200 = SearchParams(query="merge pre", prefix=True, fuzzy=False,
+                                multifield=True)
+        timings["serve_prefix_expand200_p50"] = p50(
+            lambda: srv.search(p_exp200))
 
         # -- sharded serving fan-out (round-3 VERDICT item 3 done-criterion:
         #    n_shards=4 vs the single searcher on the SAME 4-segment index;
@@ -263,7 +272,7 @@ def main():
             "serve_dismax_wand_clustered_p50",
             "serve_dismax_noprune_clustered_p50",
             "serve_bm25_topk_p50", "serve_full_search_p50",
-            "serve_prefix_search_p50",
+            "serve_prefix_search_p50", "serve_prefix_expand200_p50",
             "serve_full_search_1shard_p50", "serve_full_search_4shards_p50",
         ]
         print(json.dumps(
