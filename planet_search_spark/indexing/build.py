@@ -291,12 +291,21 @@ def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
     base = ids.withColumn("doc_id", F.col("doc_id") + F.lit(doc_base))
     # document universe = turns with a non-empty TEXT field (the analogue of
     # the reference dropping unnamed features); the meta field indexes the
-    # same universe with its own dl/df/corpus stats
+    # same universe with its own dl/df/corpus stats.
+    # explode(array(struct(...))) = a Generate barrier (1 row in, 1 row
+    # out): the empty-doc filter and every dl/kw consumer reference the
+    # GENERATED columns, which predicate pushdown / projection collapse
+    # cannot inline — each field's analyzer chain runs exactly ONCE per row
+    # per job (round-7: the withColumn form re-derived the text chain 3x
+    # and the meta chain 2x in both the doc_store and positions jobs)
     docs = (base
-            .withColumn("toks", A.tokens_col(F.col("text")))
+            .select("*", F.explode(F.array(F.struct(
+                A.tokens_col(F.col("text")).alias("t"),
+                A.tokens_col(meta_field_col()).alias("m")))).alias("_tk"))
+            .select("*", F.col("_tk.t").alias("toks"),
+                    F.col("_tk.m").alias("mtoks")).drop("_tk")
             .where(F.size("toks") > 0)
             .withColumn("dl", F.size("toks").cast("long"))
-            .withColumn("mtoks", A.tokens_col(meta_field_col()))
             .withColumn("mdl", F.size("mtoks").cast("long")))
     lap("ids")
 

@@ -29,6 +29,9 @@ Reference semantics mapped here (SURVEY.md §2B):
 """
 from __future__ import annotations
 
+import functools
+import operator
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -46,11 +49,26 @@ NOW_EPOCH = 1_768_435_200.0  # 2026-01-15T00:00:00Z
 # ---------------------------------------------------------------------------
 
 def tokenized_docs(tx: DataFrame) -> DataFrame:
-    """transcripts -> analyzed docs (toks, kw, dl); drops empty docs."""
+    """transcripts -> analyzed docs (toks, kw, dl); drops empty docs.
+
+    The sf-dir documents table is a single parquet row group up to multi-MB
+    scale, so the scan (and everything narrow above it — the whole analyzer
+    chain) would run in ONE task; repartition the raw text to core count
+    first (guide §2.5 'input skew: unsplittable file'). Scale-adaptive: a
+    corpus that already scans with enough parallelism skips the shuffle."""
+    par = tx.sparkSession.sparkContext.defaultParallelism
+    if tx.rdd.getNumPartitions() < par:
+        tx = tx.repartition(par)
+    # explode(array(tokens)) = a Generate barrier: the filter below and the
+    # kw/dl projections above all reference the GENERATED column, which
+    # predicate pushdown / projection collapse cannot inline — the analyzer
+    # chain runs exactly ONCE per row (it ran 3x: filter + dl + toks each
+    # re-derived it; measured 3 regexp_extract_all nodes in the plan)
     return (
-        tx.withColumn("toks", A.tokens_col(F.col("text")))
-          .withColumn("kw", F.array_join("toks", " "))
+        tx.select("*", F.explode(F.array(A.tokens_col(F.col("text"))))
+                        .alias("toks"))
           .where(F.size("toks") > 0)
+          .withColumn("kw", F.array_join("toks", " "))
           .withColumn("dl", F.size("toks").cast("double"))
     )
 
@@ -74,27 +92,72 @@ def corpus_stats(docs: DataFrame) -> DataFrame:
                     F.avg("dl").alias("avgdl"))
 
 
+def _stats_and_dfs(docs: DataFrame, terms: list[str]) -> DataFrame:
+    """1-row (n, avgdl, df0..df{n-1}) over the tokenized docs — N/avgdl
+    over all non-empty docs, df_i as the count of docs whose token array
+    contains term i (``array_contains`` is a codegen builtin with an
+    early-exit scan — no explode, no shuffle)."""
+    return docs.agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[F.count_if(F.array_contains("toks", t)).cast("double")
+          .alias(f"df{i}") for i, t in enumerate(terms)])
+
+
+def _tf_score_cols(terms: list[str]) -> tuple[Column, Column]:
+    """(score, nmatch) columns over a per-doc tf{i} frame cross-joined
+    with its 1-row stats: score = Σ_i bm25(tf_i, df_i) over matched
+    terms, in fixed term order."""
+    idx = range(len(terms))
+    score = functools.reduce(operator.add, [
+        F.when(F.col(f"tf{i}") > 0, S.bm25_term_score(
+            F.col(f"tf{i}"), F.col(f"df{i}"), F.col("dl"),
+            F.col("n"), F.col("avgdl"))).otherwise(F.lit(0.0))
+        for i in idx])
+    nmatch = functools.reduce(operator.add, [
+        (F.col(f"tf{i}") > 0).cast("long") for i in idx])
+    return score, nmatch
+
+
+def _bm25_scores_wide(tx: DataFrame, terms: list[str],
+                      require_all: bool = False,
+                      extra_cols: list[str] | None = None) -> DataFrame:
+    """Per-doc summed BM25 in TWO tokenize passes and ONE matched-rows-only
+    shuffle (round-7 optimization, guide §2.3/§2.4): the old form ran
+    THREE tokenize subtrees (qtf probe, dfreq branch, corpus stats) plus a
+    second (doc, term)->doc aggregation; here the matched-token explode
+    pivots per-term tfs in a single groupBy (codegen ``count_if``), and
+    df/N/avgdl ride one 1-row broadcast aggregate. ``extra_cols`` (doc
+    attributes: role/tool/ts/kw) ride the groupBy as ``first()`` aggregates
+    so downstream function-score/filter queries need no corpus self-join.
+    Emits matched docs only with (score, nmatch) identical to the old
+    formulation."""
+    uniq = list(dict.fromkeys(terms))
+    docs = tokenized_docs(tx)
+    stats = _stats_and_dfs(docs, uniq)
+    qtf = (docs.select("conv_id", "turn_idx", "dl",
+                       *(extra_cols or []),
+                       F.explode("toks").alias("term"))
+           .where(F.col("term").isin(uniq))
+           .groupBy("conv_id", "turn_idx")
+           .agg(F.first("dl").alias("dl"),
+                *[F.first(c).alias(c) for c in (extra_cols or [])],
+                *[F.count_if(F.col("term") == t).cast("double")
+                  .alias(f"tf{i}") for i, t in enumerate(uniq)]))
+    score, nmatch = _tf_score_cols(uniq)
+    out = (qtf.crossJoin(F.broadcast(stats))
+           .withColumn("score", score)
+           .withColumn("nmatch", nmatch))
+    if require_all:
+        out = out.where(F.col("nmatch") == len(uniq))
+    return out
+
+
 def _bm25_scores(tx: DataFrame, terms: list[str],
                  require_all: bool = False) -> DataFrame:
     """Per-doc summed BM25 over ``terms`` (OR; AND if require_all)."""
-    docs = tokenized_docs(tx)
-    tf = term_freqs(docs)
-    qtf = tf.where(F.col("term").isin(terms))
-    dfreq = doc_freqs(tf).where(F.col("term").isin(terms))
-    stats = corpus_stats(docs)
-    scored = (
-        qtf.join(F.broadcast(dfreq), "term")
-           .crossJoin(F.broadcast(stats))
-           .withColumn("s", S.bm25_term_score(
-               F.col("tf"), F.col("df"), F.col("dl"),
-               F.col("n"), F.col("avgdl")))
-           .groupBy("conv_id", "turn_idx")
-           .agg(F.sum("s").alias("score"),
-                F.count("*").alias("nmatch"))
-    )
-    if require_all:
-        scored = scored.where(F.col("nmatch") == len(set(terms)))
-    return scored
+    return _bm25_scores_wide(tx, terms, require_all).select(
+        "conv_id", "turn_idx", "score", "nmatch")
 
 
 _SQL_BASE = f"""
@@ -352,6 +415,35 @@ def q_phrase_prefix_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
 PREFIX = "wi"
 
 
+def _expansion_search(tx: DataFrame, token_pred,
+                      cap: int | None = 200) -> DataFrame:
+    """Shared prefix/fuzzy scorer: tokens matching ``token_pred`` are
+    filtered INSIDE the array (higher-order ``filter``) before the explode,
+    so the (doc, term) tf groupBy shuffles only matching occurrences — the
+    old form exploded and re-aggregated the ENTIRE token stream twice
+    (round-7 optimization, guide §2.3 'shuffle fewer bytes')."""
+    docs = tokenized_docs(tx)
+    qtf = (docs.select("conv_id", "turn_idx", "dl",
+                       F.explode(F.filter("toks", token_pred)).alias("term"))
+           .groupBy("conv_id", "turn_idx", "dl", "term")
+           .agg(F.count("*").cast("double").alias("tf")))
+    expanded = (qtf.groupBy("term")
+                .agg(F.count("*").cast("double").alias("df")))
+    if cap is not None:  # prefix branch: max_expansions=200, term order
+        expanded = expanded.orderBy("term").limit(cap)
+    stats = corpus_stats(docs)
+    return (qtf.join(F.broadcast(expanded), "term")
+              .crossJoin(F.broadcast(stats))
+              .withColumn("s", S.bm25_term_score(
+                  F.col("tf"), F.col("df"), F.col("dl"),
+                  F.col("n"), F.col("avgdl")))
+              .groupBy("conv_id", "turn_idx")
+              .agg(F.max("s").alias("score"))
+              .select("conv_id", "turn_idx",
+                      S.quantize(F.col("score")).alias("score_q")))
+
+
+
 @_register("prefix_search", f"""{_SQL_BASE},
 expanded AS (
   SELECT term, df FROM dfreq WHERE term LIKE '{PREFIX}%'
@@ -370,20 +462,7 @@ FROM matched
 """)
 def q_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     tx = transcripts_from_documents(spark, sf_dir)
-    docs = tokenized_docs(tx)
-    tf = term_freqs(docs)
-    expanded = (doc_freqs(tf).where(F.col("term").startswith(PREFIX))
-                .orderBy("term").limit(200))
-    stats = corpus_stats(docs)
-    return (tf.join(F.broadcast(expanded), "term")
-              .crossJoin(F.broadcast(stats))
-              .withColumn("s", S.bm25_term_score(
-                  F.col("tf"), F.col("df"), F.col("dl"),
-                  F.col("n"), F.col("avgdl")))
-              .groupBy("conv_id", "turn_idx")
-              .agg(F.max("s").alias("score"))
-              .select("conv_id", "turn_idx",
-                      S.quantize(F.col("score")).alias("score_q")))
+    return _expansion_search(tx, lambda x: x.startswith(PREFIX))
 
 
 # -- 10. fuzzy AUTO (B14) -----------------------------------------------------
@@ -414,20 +493,14 @@ FROM matched
 """)
 def q_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     tx = transcripts_from_documents(spark, sf_dir)
-    docs = tokenized_docs(tx)
-    tf = term_freqs(docs)
-    expanded = doc_freqs(tf).where(
-        F.levenshtein(F.col("term"), F.lit(FUZZY_TERM)) <= _auto_fuzz(FUZZY_TERM))
-    stats = corpus_stats(docs)
-    return (tf.join(F.broadcast(expanded), "term")
-              .crossJoin(F.broadcast(stats))
-              .withColumn("s", S.bm25_term_score(
-                  F.col("tf"), F.col("df"), F.col("dl"),
-                  F.col("n"), F.col("avgdl")))
-              .groupBy("conv_id", "turn_idx")
-              .agg(F.max("s").alias("score"))
-              .select("conv_id", "turn_idx",
-                      S.quantize(F.col("score")).alias("score_q")))
+    ed, n = _auto_fuzz(FUZZY_TERM), len(FUZZY_TERM)
+    # length band first: levenshtein <= ed implies |len-n| <= ed, so the
+    # cheap length predicate prunes most tokens before the edit distance
+    return _expansion_search(
+        tx,
+        lambda x: ((F.length(x) >= n - ed) & (F.length(x) <= n + ed)
+                   & (F.levenshtein(x, F.lit(FUZZY_TERM)) <= ed)),
+        cap=None)  # the fuzzy oracle has NO max_expansions cap
 
 
 # -- 11. constant-score tiers (B18; 12/6/1 per bbox_container.json:9-55) ------
@@ -471,15 +544,25 @@ LEFT JOIN scores s ON s.conv_id = d.conv_id AND s.turn_idx = d.turn_idx
 WHERE s.conv_id IS NOT NULL OR d.tool = 'search'
 """)
 def q_dismax_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # union form (no corpus-vs-scores self-join): matched docs come from
+    # the 2-pass scorer with ``tool`` riding the groupBy; the tool-only
+    # clause (unmatched docs with tool='search', constant score 2.0) is a
+    # shuffle-free filter pass with codegen array_contains
     tx = transcripts_from_documents(spark, sf_dir)
-    docs = tokenized_docs(tx)
-    scored = _bm25_scores(tx, Q_TERMS).withColumnRenamed("score", "bm25")
-    joined = docs.join(scored, ["conv_id", "turn_idx"], "left")
-    text_s = F.coalesce(S.saturation(F.col("bm25")), F.lit(0.0))
+    uniq = list(dict.fromkeys(Q_TERMS))
+    scored = _bm25_scores_wide(tx, Q_TERMS, extra_cols=["tool"])
     tool_s = F.when(F.col("tool") == "search", F.lit(2.0)).otherwise(F.lit(0.0))
-    return (joined.where(F.col("bm25").isNotNull() | (F.col("tool") == "search"))
-                  .select("conv_id", "turn_idx",
-                          S.quantize(F.greatest(text_s, tool_s)).alias("score_q")))
+    matched = scored.select(
+        "conv_id", "turn_idx",
+        S.quantize(F.greatest(S.saturation(F.col("score")),
+                              tool_s)).alias("score_q"))
+    no_match = ~functools.reduce(
+        operator.or_, [F.array_contains("toks", t) for t in uniq])
+    tool_only = (tokenized_docs(tx)
+                 .where((F.col("tool") == "search") & no_match)
+                 .select("conv_id", "turn_idx",
+                         S.quantize(F.lit(2.0)).alias("score_q")))
+    return matched.unionByName(tool_only)
 
 
 # -- 13. non-scoring filter (B17) ---------------------------------------------
@@ -491,12 +574,12 @@ JOIN docs_n d ON d.conv_id = s.conv_id AND d.turn_idx = s.turn_idx
 WHERE d.role = 'assistant' AND d.tool = 'code'
 """)
 def q_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the B17 filter is a plain predicate on the scoring pass itself (the
+    # old corpus-vs-scores self-join shuffled the whole corpus twice)
     tx = transcripts_from_documents(spark, sf_dir)
-    docs = tokenized_docs(tx).where(
-        (F.col("role") == "assistant") & (F.col("tool") == "code"))
-    scored = _bm25_scores(tx, Q_TERMS)
-    return (scored.join(docs.select("conv_id", "turn_idx"),
-                        ["conv_id", "turn_idx"])
+    scored = _bm25_scores_wide(tx, Q_TERMS, extra_cols=["role", "tool"])
+    return (scored.where((F.col("role") == "assistant")
+                         & (F.col("tool") == "code"))
                   .select("conv_id", "turn_idx",
                           S.quantize(F.col("score")).alias("score_q")))
 
@@ -517,17 +600,18 @@ SELECT conv_id, turn_idx, {S.SQL_QUANTIZE.format(x='final')} AS score_q
 FROM finals
 """)
 def q_function_score_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # single-pass form: the function-score inputs (role/tool/ts/kw/dl) ride
+    # the scoring frame, removing the corpus self-join entirely
     tx = transcripts_from_documents(spark, sf_dir)
-    docs = tokenized_docs(tx)
-    scored = _bm25_scores(tx, Q_TERMS).withColumnRenamed("score", "bm25")
-    joined = scored.join(docs, ["conv_id", "turn_idx"])
+    scored = _bm25_scores_wide(
+        tx, Q_TERMS, extra_cols=["role", "tool", "ts", "kw"])
     final = (
-        S.saturation(F.col("bm25"))
+        S.saturation(F.col("score"))
         + F.lit(S.W_PRIOR) * S.static_prior(F.col("role"), F.col("dl"), F.col("tool"))
         + F.when(F.col("kw") == "spark merge window", F.lit(S.W_EXACT)).otherwise(F.lit(0.0))
         + S.recency_decay(F.col("ts"), NOW_EPOCH)
     )
-    return joined.select("conv_id", "turn_idx",
+    return scored.select("conv_id", "turn_idx",
                          S.quantize(final).alias("score_q"))
 
 
