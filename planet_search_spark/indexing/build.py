@@ -59,12 +59,11 @@ POSTINGS_SCHEMA = (
     "docs_bin binary, tfs_bin binary, dls_bin binary"
 )
 
-# Encoder output BEFORE the term string is re-attached: the big merge
-# shuffle carries a dictionary-encoded int64 ``term_id`` instead of the raw
-# term string (strings dominated the wide-stage shuffle bytes and sort-key
-# comparisons in round-1 scaling measurements); the id -> term join happens
-# on BLOCK rows, which are ~2 orders of magnitude fewer than postings.
-ENCODED_SCHEMA = POSTINGS_SCHEMA.replace("term string", "term_id long")
+# Round-7: the encoder emits POSTINGS_SCHEMA directly (term string rides
+# the merge shuffle). The round-1 int64 ``term_id`` indirection saved sort
+# bytes but required a second 5M-row join to re-attach the string on block
+# rows — and that join re-shuffled every encoded block PAYLOAD, which
+# measured ~2x the cost of the wider string sort key it avoided.
 
 # Multi-field indexing (B8): every document contributes one token stream per
 # FIELD, each with its own posting lists, df, dl, and corpus stats — the
@@ -136,10 +135,15 @@ def assign_doc_ids(tx: DataFrame, num_partitions: int = 0) -> DataFrame:
 
 def _encode_stream_fn(field_stats: dict, block_size: int,
                       n_levels: int = 1):
-    """mapInPandas over partitions pre-sorted by (field, term, salt, doc_id):
+    """mapInArrow over partitions pre-sorted by (field, term, salt, doc_id):
     encodes MANY (field, term, salt) groups per Arrow batch fully vectorized
-    (codec.encode_blocks_multi) — no per-group pandas materialization, so a
-    million singleton terms costs the same as one hot term of equal mass.
+    (codec.encode_blocks_multi_buffers) — no per-group or per-block Python
+    materialization: each binary stream becomes ONE Arrow binary column
+    built zero-copy from (buffer, offsets), and the term strings never
+    become Python objects (round-7: the pandas form allocated millions of
+    per-block ``bytes`` plus a 5M-row re-attach join for the term string —
+    the term now rides the batch and is gathered per block with
+    ``pc.take``, so no names join exists at all).
 
     ``field_stats``: field_id -> (n_docs, avgdl) — BM25 block bounds are
     computed under each FIELD's own corpus statistics, exactly like
@@ -158,75 +162,122 @@ def _encode_stream_fn(field_stats: dict, block_size: int,
     each batch is carried into the next. The carry is bounded by
     salt_target rows by construction (hot terms are salted).
     """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     k1, b = S.K1, S.B
     max_f = max(field_stats) + 1
     n_arr = np.zeros(max_f)
     avgdl_arr = np.ones(max_f)
     for fid, (n_f, avgdl_f) in field_stats.items():
         n_arr[fid], avgdl_arr[fid] = n_f, avgdl_f
+    out_schema = pa.schema([
+        ("bucket", pa.int32()), ("field", pa.int32()),
+        ("term", pa.string()), ("block_id", pa.int64()),
+        ("n_docs", pa.int32()), ("first_doc", pa.int64()),
+        ("last_doc", pa.int64()), ("max_score", pa.float64()),
+        ("max_tf", pa.float64()), ("min_dl", pa.float64()),
+        ("min_tf", pa.float64()), ("max_dl", pa.float64()),
+        ("docs_bin", pa.binary()), ("tfs_bin", pa.binary()),
+        ("dls_bin", pa.binary())])
 
-    def encode_body(pdf: pd.DataFrame):
-        doc_ids = pdf["doc_id"].to_numpy(np.int64)
-        tfs = pdf["tf"].to_numpy(np.int64)
-        dls = pdf["dl"].to_numpy(np.int64)
-        dfs = pdf["df"].to_numpy(np.float64)
-        tids = pdf["term_id"].to_numpy(np.int64)
-        fields = pdf["field"].to_numpy(np.int64)
-        salts = pdf["salt"].to_numpy(np.int64)
-        lvls = pdf["lvl"].to_numpy(np.int64)
-        # term_id is unique per (field, term), so (term_id, salt) changes
-        # cover field changes too; a level change also starts a new block
-        # chain (impact layout: blocks never span levels)
-        gs = np.ones(len(pdf), dtype=bool)
-        gs[1:] = ((tids[1:] != tids[:-1]) | (salts[1:] != salts[:-1])
-                  | (lvls[1:] != lvls[:-1]))
-        blocks = codec.encode_blocks_multi(doc_ids, tfs, dls, gs, block_size)
+    NUM = ("bucket", "field", "doc_id", "dl", "tf", "df", "salt", "lvl")
+
+    def _bin_col(buf: bytes, offs: np.ndarray) -> pa.Array:
+        return pa.Array.from_buffers(
+            pa.binary(), len(offs) - 1,
+            [None, pa.py_buffer(offs), pa.py_buffer(buf)])
+
+    def _term_neq(terms: pa.Array) -> np.ndarray:
+        """terms[i] != terms[i-1] for i in 1..n-1, without materializing
+        Python strings (Arrow compute on the two shifted slices)."""
+        n = len(terms)
+        if n <= 1:
+            return np.zeros(0, dtype=bool)
+        return pc.not_equal(terms.slice(1), terms.slice(0, n - 1)) \
+            .to_numpy(zero_copy_only=False)
+
+    def encode_body(num: dict, terms: pa.Array) -> pa.RecordBatch:
+        doc_ids = num["doc_id"]
+        tfs, dls, dfs = num["tf"], num["dl"], num["df"]
+        fields = num["field"]
+        salts = num["salt"].astype(np.int64)
+        lvls = num["lvl"].astype(np.int64)
+        # a (field, term, salt) change starts a new group; a level change
+        # also starts a new block chain (impact layout: blocks never span
+        # levels). field changes imply term-bytes changes for distinct
+        # vocabularies, but the explicit field term keeps same-spelled
+        # terms of different fields apart.
+        gs = np.ones(len(doc_ids), dtype=bool)
+        gs[1:] = (_term_neq(terms) | (fields[1:] != fields[:-1])
+                  | (salts[1:] != salts[:-1]) | (lvls[1:] != lvls[:-1]))
+        blocks = codec.encode_blocks_multi_buffers(
+            doc_ids, tfs, dls, gs, block_size)
         rs = blocks["row_start"]
         n, avgdl = n_arr[fields], avgdl_arr[fields]
         idf = np.log(1.0 + (n - dfs + 0.5) / (dfs + 0.5))
         scores = idf * tfs / (tfs + k1 * (1 - b + b * dls / avgdl))
-        return pd.DataFrame({
-            "bucket": pdf["bucket"].to_numpy(np.int32)[rs],
-            "field": fields[rs].astype(np.int32),
-            "term_id": tids[rs],
-            "block_id": ((salts[rs] * n_levels + lvls[rs]) * 1_000_000
-                         + blocks["seq"]),
-            "n_docs": blocks["n_docs"],
-            "first_doc": blocks["first_doc"],
-            "last_doc": blocks["last_doc"],
-            "max_score": np.maximum.reduceat(scores, rs),
+        rs_idx = pa.array(rs, type=pa.int64())
+        cols = [
+            pa.array(num["bucket"][rs].astype(np.int32), type=pa.int32()),
+            pa.array(fields[rs].astype(np.int32), type=pa.int32()),
+            pc.take(terms, rs_idx),
+            pa.array((salts[rs] * n_levels + lvls[rs]) * 1_000_000
+                     + blocks["seq"], type=pa.int64()),
+            pa.array(blocks["n_docs"], type=pa.int32()),
+            pa.array(blocks["first_doc"], type=pa.int64()),
+            pa.array(blocks["last_doc"], type=pa.int64()),
+            pa.array(np.maximum.reduceat(scores, rs), type=pa.float64()),
             # per-block (max_tf, min_dl) -> upper bound, (min_tf, max_dl)
-            # -> lower bound; both recomputable under *global* corpus stats
-            # by multi-segment readers. θ now derives from real decoded
-            # scores (max_score-ordered blocks), so the lower-bound pair is
-            # currently unread — retained (16 B/block) for min-score skip
-            # strategies and old-reader compatibility
-            "max_tf": np.maximum.reduceat(tfs, rs).astype(np.float64),
-            "min_dl": np.minimum.reduceat(dls, rs).astype(np.float64),
-            "min_tf": np.minimum.reduceat(tfs, rs).astype(np.float64),
-            "max_dl": np.maximum.reduceat(dls, rs).astype(np.float64),
-            "docs_bin": blocks["docs_bin"],
-            "tfs_bin": blocks["tfs_bin"],
-            "dls_bin": blocks["dls_bin"],
-        })
+            # -> lower bound; both recomputable under *global* corpus
+            # stats by multi-segment readers (θ derives from real decoded
+            # scores; the lower-bound pair is retained for min-score skip
+            # strategies and old-reader compatibility)
+            pa.array(np.maximum.reduceat(tfs, rs).astype(np.float64)),
+            pa.array(np.minimum.reduceat(dls, rs).astype(np.float64)),
+            pa.array(np.minimum.reduceat(tfs, rs).astype(np.float64)),
+            pa.array(np.maximum.reduceat(dls, rs).astype(np.float64)),
+            _bin_col(blocks["docs_buf"], blocks["docs_off"]),
+            _bin_col(blocks["tfs_buf"], blocks["tfs_off"]),
+            _bin_col(blocks["dls_buf"], blocks["dls_off"]),
+        ]
+        return pa.RecordBatch.from_arrays(cols, schema=out_schema)
 
     def gen(batches):
-        carry = None
-        for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            if len(pdf) == 0:
-                carry = None
+        carry_num, carry_terms = None, None
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            last_t = pdf["term_id"].iloc[-1]
-            last_s = pdf["salt"].iloc[-1]
-            tail = (pdf["term_id"] == last_t) & (pdf["salt"] == last_s)
-            carry = pdf[tail]
-            body = pdf[~tail]
-            if len(body):
-                yield encode_body(body)
-        if carry is not None and len(carry):
-            yield encode_body(carry)
+            by_name = {batch.schema.names[i]: batch.column(i)
+                       for i in range(batch.num_columns)}
+            num = {k: by_name[k].to_numpy(zero_copy_only=False)
+                   for k in NUM}
+            num["df"] = num["df"].astype(np.float64)
+            for k in ("doc_id", "dl", "tf"):
+                num[k] = num[k].astype(np.int64)
+            terms = by_name["term"]
+            if isinstance(terms, pa.ChunkedArray):
+                terms = terms.combine_chunks()
+            if carry_num is not None:
+                num = {k: np.concatenate([carry_num[k], num[k]])
+                       for k in num}
+                terms = pa.concat_arrays([carry_terms, terms])
+            # tail = the trailing (field, term, salt) run; sorted input
+            # keeps it contiguous at the batch end
+            ts_change = (_term_neq(terms)
+                         | (num["field"][1:] != num["field"][:-1])
+                         | (num["salt"][1:] != num["salt"][:-1]))
+            bounds = np.flatnonzero(ts_change)
+            if bounds.size == 0:
+                carry_num, carry_terms = num, terms
+                continue
+            tail_start = int(bounds[-1]) + 1
+            carry_num = {k: v[tail_start:] for k, v in num.items()}
+            carry_terms = terms.slice(tail_start)
+            yield encode_body({k: v[:tail_start] for k, v in num.items()},
+                              terms.slice(0, tail_start))
+        if carry_num is not None and len(carry_num["doc_id"]):
+            yield encode_body(carry_num, carry_terms)
 
     return gen
 
@@ -312,6 +363,13 @@ def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
     # -- stage 2: doc_store, then per-field corpus stats from the written
     #    parquet (column-pruned dl/mdl scan — no extra tokenize pass)
     doc_store_path = os.path.join(seg_dir, "doc_store")
+    # writer parallelism: one task per core (one wave), not one per ids
+    # partition — the 4x-overpartitioned ids layout exists for sort-memory
+    # bounds, but carrying it into the writes quadruples the file count
+    # (pos_partial: tasks x buckets dynamic-partition files), and every
+    # query-time reader pays that listing/footer overhead (guide §6
+    # 'small files hurt twice'). coalesce is narrow: no extra shuffle.
+    write_par = spark.sparkContext.defaultParallelism
     if not done("stage_docs.done"):
         # kw_hash, not the raw keyword string: exact-match semantics only
         # need equality, and the md5 keeps doc_store narrow at 10^12 turns
@@ -325,6 +383,7 @@ def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
             F.md5(F.array_join("toks", " ")).alias("kw_hash"),
             S.static_prior(F.col("role"), F.col("dl").cast("double"),
                            F.col("tool")).alias("prior"))
+         .coalesce(write_par)
          .sortWithinPartitions("kw_hash")
          .write.mode("overwrite").parquet(doc_store_path))
         mark("stage_docs.done")
@@ -382,6 +441,7 @@ def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
         # operation). In-task sort by (bucket, field, term) so parquet
         # row-group min/max stats on term let phrase queries prune row groups.
         (exploded
+         .coalesce(write_par)
          .sortWithinPartitions("bucket", "field", "term", "doc_id", "pos")
          .write.mode("overwrite").partitionBy("bucket").parquet(pos_path))
         mark("stage_pos.done")
@@ -486,7 +546,7 @@ def _term_dict_and_postings(spark: SparkSession, seg_dir: str,
     lap("term_dict")
 
     term_df = spark.read.parquet(term_dict_path).select(
-        "term", "field", "bucket", "df", "term_id")
+        "term", "field", "bucket", "df")
     # a planet-scale term dictionary must NOT be force-broadcast: join
     # strategy flips to shuffle join past a size threshold (both sides are
     # bucket-pruned per group job, so the shuffle is per-bucket-group only)
@@ -524,16 +584,32 @@ def _term_dict_and_postings(spark: SparkSession, seg_dir: str,
             .cast("int")
     else:
         lvl_col = F.lit(0)
+    # Arrow batch size for the encoder boundary: measured U-shape — 64k-row
+    # batches allocate ~33 MB bursts JVM-side and stall on GCLocker
+    # (15.9 s consume), 4k pays per-batch overhead; 16k is the sweet spot
+    # (11.7 s) for these 9-column ~60 B rows (guide §4.2: tune batch size
+    # to the row shape). Restored after the encode jobs.
+    _arrow_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    _arrow_prev = spark.conf.get(_arrow_key)
+    spark.conf.set(_arrow_key, "16384")
     for gi, buckets in enumerate(groups):
         if done(f"group_{gi}.done"):
             continue
-        dim = term_df.where(F.col("bucket").isin(buckets)).drop("bucket")
+        dim = (term_df.where(F.col("bucket").isin(buckets))
+               .select("field", "term", "df"))
         tf_g = tf_stored.where(F.col("bucket").isin(buckets))  # partition pruning
-        lean_cols = ["bucket", "field", "term_id", "doc_id", "dl",
+        lean_cols = ["bucket", "field", "term", "doc_id", "dl",
                      "tf", "df", "salt", "lvl"]
         # dim join: broadcast under the vocab threshold, shuffle join past
-        # it (planet-scale dictionaries must not be force-broadcast)
-        dim_j = F.broadcast(dim) if broadcast_terms else dim
+        # it (planet-scale dictionaries must not be force-broadcast).
+        # SHUFFLE_HASH, not sort-merge: the probe side is the full postings
+        # relation and the join key is the (field, term) STRING pair — a
+        # sort-merge join string-sorts every posting row, while the hash
+        # join only builds a per-partition table of dictionary rows
+        # (guide §3.1; measured on the 1M-turn bench where the 5M-term
+        # vocab exceeds the broadcast limit)
+        dim_j = F.broadcast(dim) if broadcast_terms \
+            else dim.hint("SHUFFLE_HASH")
         part = (tf_g.join(dim_j, ["field", "term"])
                 .withColumn("nsalt", F.greatest(
                     F.lit(1),
@@ -542,31 +618,27 @@ def _term_dict_and_postings(spark: SparkSession, seg_dir: str,
                 .withColumn("salt",
                             (F.col("doc_id") % F.col("nsalt")).cast("int"))
                 .withColumn("lvl", lvl_col))
-        # the merge shuffle: co-locate each (term_id, salt) group — hot
+        # the merge shuffle: co-locate each (field, term, salt) group — hot
         # terms salted so no task sees more than ~salt_target rows of one
-        # term. The explicit select keeps the shuffle row ALL-INT (no term
-        # string, no nsalt): fewer shuffle bytes, int64 sort keys instead
-        # of string comparisons, and no Arrow string transfer into the
-        # Python encoder (term strings re-attached on block rows below).
-        # Impact layout adds lvl DESC to the in-task sort: high-impact
-        # blocks first; doc_id stays ascending within a level.
+        # term. The term STRING rides the shuffle (round-7: the previous
+        # all-int term_id row forced a second 5M-row join to re-attach the
+        # string on block rows, which re-shuffled every block PAYLOAD —
+        # measurably costlier than the wider sort key). Impact layout adds
+        # lvl DESC to the in-task sort: high-impact blocks first; doc_id
+        # stays ascending within a level.
+        # 2x-core partition floor: the encode stage is bounded by the
+        # JVM->Python Arrow conversion (~14 us/row), which scales past one
+        # wave of tasks (measured 15->11 s going 32->64 partitions on 32
+        # cores) — finer tasks also shrink the per-task sort
         stream = (part.select(*lean_cols)
-                  .repartition(max(n_shuffle // n_groups, len(buckets)),
-                               "term_id", "salt")
-                  .sortWithinPartitions(F.col("term_id"), F.col("salt"),
+                  .repartition(max(n_shuffle // n_groups, len(buckets),
+                                   2 * spark.sparkContext.defaultParallelism),
+                               "field", "term", "salt")
+                  .sortWithinPartitions(F.col("field"), F.col("term"),
+                                        F.col("salt"),
                                         F.col("lvl").desc(),
                                         F.col("doc_id")))
-        encoded = stream.mapInPandas(enc, schema=ENCODED_SCHEMA)
-        # re-attach the term string on BLOCK rows (orders of magnitude fewer
-        # than postings; ~vocab-sized for a long-tail dictionary)
-        names = (term_df.where(F.col("bucket").isin(buckets))
-                 .select("term_id", "term"))
-        names = F.broadcast(names) if broadcast_terms \
-            else names.hint("SHUFFLE_HASH")
-        blocks = encoded.join(names, "term_id").select(
-            "bucket", "field", "term", "block_id", "n_docs", "first_doc",
-            "last_doc", "max_score", "max_tf", "min_dl", "min_tf", "max_dl",
-            "docs_bin", "tfs_bin", "dls_bin")
+        blocks = stream.mapInArrow(enc, schema=POSTINGS_SCHEMA)
         # compact: block rows are ~1000x fewer than postings, so this extra
         # tiny shuffle buys one file per bucket — query-time file listing and
         # footer reads stay O(buckets), not O(buckets x encode tasks)
@@ -577,7 +649,9 @@ def _term_dict_and_postings(spark: SparkSession, seg_dir: str,
         lap(f"encode_g{gi}")
         built_groups += 1
         if fail_after_group >= 0 and built_groups >= fail_after_group:
+            spark.conf.set(_arrow_key, _arrow_prev)
             raise RuntimeError(f"injected failure after group {gi}")
+    spark.conf.set(_arrow_key, _arrow_prev)
     if not done("term_bounds.done"):
         # per-(field, term) MIN over blocks of the block upper-bound's
         # tf-normalization (df-independent; idf re-attaches at query time).

@@ -243,3 +243,53 @@ def encode_blocks_multi(doc_ids: np.ndarray, tfs: np.ndarray,
         "dls_bin": sliced(np.asarray(dls, np.int64)),
         "reduce_starts": starts,
     }
+
+
+def encode_blocks_multi_buffers(doc_ids: np.ndarray, tfs: np.ndarray,
+                                dls: np.ndarray, group_starts: np.ndarray,
+                                block_size: int) -> dict:
+    """:func:`encode_blocks_multi` without the per-block Python slicing:
+    each stream comes back as ONE contiguous encoded buffer plus an int32
+    block-offsets array, ready to become an Arrow binary column zero-copy
+    (``pa.Array.from_buffers``). Encoded bytes are IDENTICAL to the sliced
+    form — only the container changes (a million tail-term blocks cost a
+    million ``bytes`` allocations per stream in the sliced form; here they
+    cost one buffer + one offsets array)."""
+    n = len(doc_ids)
+    gidx = np.flatnonzero(group_starts)
+    glen = np.diff(np.append(gidx, n))
+    within = np.arange(n) - np.repeat(gidx, glen)
+    is_start = group_starts | (within % block_size == 0)
+    starts = np.flatnonzero(is_start)
+    ends = np.append(starts[1:], n)
+
+    gaps = np.empty(n, dtype=np.int64)
+    if n:
+        gaps[0] = doc_ids[0]
+        np.subtract(doc_ids[1:], doc_ids[:-1], out=gaps[1:])
+        gaps[starts] = doc_ids[starts]
+
+    def enc(stream: np.ndarray) -> tuple[bytes, np.ndarray]:
+        lens = varbyte_lengths(stream)
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        # block-boundary offsets into the single encoded buffer
+        return varbyte_encode(stream), np.append(
+            offs[starts], offs[-1]).astype(np.int32)
+
+    grp_of_block = np.searchsorted(gidx, starts, side="right") - 1
+    first_block_of_grp = np.searchsorted(starts, gidx)
+    seq = np.arange(len(starts)) - first_block_of_grp[grp_of_block]
+
+    docs_buf, docs_off = enc(gaps)
+    tfs_buf, tfs_off = enc(np.asarray(tfs, np.int64))
+    dls_buf, dls_off = enc(np.asarray(dls, np.int64))
+    return {
+        "row_start": starts,
+        "seq": seq,
+        "n_docs": (ends - starts).astype(np.int32),
+        "first_doc": doc_ids[starts],
+        "last_doc": doc_ids[ends - 1],
+        "docs_buf": docs_buf, "docs_off": docs_off,
+        "tfs_buf": tfs_buf, "tfs_off": tfs_off,
+        "dls_buf": dls_buf, "dls_off": dls_off,
+    }
