@@ -94,7 +94,8 @@ def bucket_of(term: str, n_buckets: int) -> int:
     return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16) % n_buckets
 
 
-def assign_doc_ids(tx: DataFrame, num_partitions: int = 0) -> DataFrame:
+def assign_doc_ids(tx: DataFrame, num_partitions: int = 0,
+                   doc_base: int = 0) -> DataFrame:
     """Dense, deterministic doc_id by global (conv_id, turn_idx) order.
 
     Entirely JVM-side (no Arrow round-trip of the text column): range
@@ -102,6 +103,12 @@ def assign_doc_ids(tx: DataFrame, num_partitions: int = 0) -> DataFrame:
     ids; ``monotonically_increasing_id()`` is ``pid * 2^33 + local_row``
     under that physical order, so ``doc_id = offset[pid] + (mid - pid*2^33)``
     with per-partition offsets from one cheap count job.
+
+    ``doc_base`` is folded into the offsets DATA (the broadcast side), not
+    applied as a ``lit()`` above — a changing literal would alter the
+    generated code of every downstream tokenize/doc_store/positions plan
+    and force a whole-stage-codegen recompile per LSM segment (measured
+    1-2 s per stage per segment, round 7).
     """
     spark = tx.sparkSession
     # over-partition relative to cores: downstream stages explode each doc
@@ -116,7 +123,7 @@ def assign_doc_ids(tx: DataFrame, num_partitions: int = 0) -> DataFrame:
     part.persist()  # pin the partitioning: offsets and ids must see the same pids
     sizes = {r["_pid"]: r["cnt"] for r in
              part.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
-    offsets, acc = {}, 0
+    offsets, acc = {}, doc_base
     for pid in sorted(sizes):
         offsets[pid] = acc
         acc += sizes[pid]
@@ -129,7 +136,7 @@ def assign_doc_ids(tx: DataFrame, num_partitions: int = 0) -> DataFrame:
                .withColumn("doc_id", F.col("_off") + F.col("_local"))
                .drop("_pid", "_local", "_off"))
     out._cached_base = part  # for the builder to unpersist when done
-    out._total_rows = acc    # raw row count = the id-space span consumed
+    out._total_rows = acc - doc_base  # raw rows = the id-space span consumed
     return out
 
 
@@ -338,8 +345,8 @@ def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
         stage_t[name] = round(time.time() - t_stage, 2)
         t_stage = time.time()
 
-    ids = assign_doc_ids(tx)
-    base = ids.withColumn("doc_id", F.col("doc_id") + F.lit(doc_base))
+    ids = assign_doc_ids(tx, doc_base=doc_base)
+    base = ids
     # document universe = turns with a non-empty TEXT field (the analogue of
     # the reference dropping unnamed features); the meta field indexes the
     # same universe with its own dl/df/corpus stats.
