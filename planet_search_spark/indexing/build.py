@@ -41,6 +41,7 @@ import json
 import math
 import os
 import shutil
+import threading
 import time
 
 import numpy as np
@@ -64,6 +65,12 @@ POSTINGS_SCHEMA = (
 # bytes but required a second 5M-row join to re-attach the string on block
 # rows — and that join re-shuffled every encoded block PAYLOAD, which
 # measured ~2x the cost of the wider string sort key it avoided.
+
+# Direct per-bucket encode (round-7 v3) falls back to the shuffled
+# encoder when any single bucket's on-disk tf_partial exceeds this bound
+# (per-task working set ~8x the compressed bytes; n_buckets is the
+# production dial that keeps buckets under it).
+_DIRECT_BUCKET_MAX_BYTES = 512 << 20
 
 # Multi-field indexing (B8): every document contributes one token stream per
 # FIELD, each with its own posting lists, df, dl, and corpus stats — the
@@ -140,35 +147,72 @@ def assign_doc_ids(tx: DataFrame, num_partitions: int = 0,
     return out
 
 
-def _encode_stream_fn(field_stats: dict, block_size: int,
-                      n_levels: int = 1):
-    """mapInArrow over partitions pre-sorted by (field, term, salt, doc_id):
-    encodes MANY (field, term, salt) groups per Arrow batch fully vectorized
-    (codec.encode_blocks_multi_buffers) — no per-group or per-block Python
-    materialization: each binary stream becomes ONE Arrow binary column
-    built zero-copy from (buffer, offsets), and the term strings never
-    become Python objects (round-7: the pandas form allocated millions of
-    per-block ``bytes`` plus a 5M-row re-attach join for the term string —
-    the term now rides the batch and is gathered per block with
-    ``pc.take``, so no names join exists at all).
+def _prewarm_python_workers(spark: SparkSession) -> threading.Thread:
+    """Spawn + warm the Python worker pool (numpy/pyarrow imports, one
+    trivial task per slot) on a background job while the JVM-only build
+    stages run. The direct per-bucket encode is otherwise the session's
+    FIRST Python stage and pays the whole pool's spawn + imports serially
+    on its critical path (~7 s at 32 cores, measured round 7); overlapped
+    with the doc_store/positions jobs it costs nothing (guide §2.6)."""
+    def _warm(batches):
+        import numpy as np
+        import pyarrow  # noqa: F401
+        import pyarrow.dataset  # noqa: F401
+        import pyarrow.parquet  # noqa: F401
+        # touch-allocate a large array: imports alone leave the first
+        # big-array task ~3x slow (measured 24 s -> 8 s in-session); an
+        # alloc+touch cycle per worker restores full speed. Kept small
+        # (~100 MB, page-stride writes) so these tasks never hold the
+        # FIFO queue against the real build stages.
+        a = np.empty(12_000_000, dtype=np.int64)
+        a[::512] = 1
+        del a
+        yield from batches
+
+    def _run():
+        try:
+            n = 2 * spark.sparkContext.defaultParallelism
+            spark.range(0, n, 1, n).mapInArrow(_warm, schema="id long") \
+                .write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass  # warmup is best-effort; the encode stage works without it
+
+    t = threading.Thread(target=_run, daemon=True)
+    t.start()
+    return t
+
+
+def _encoder_core(field_stats: dict, block_size: int, n_levels: int,
+                  salt_target: int, with_bucket: bool, n_buckets: int):
+    """Shared vectorized block-encode core (round-7 v3). Takes one
+    COMPLETE-GROUPS slice of posting rows as numpy/Arrow arrays, sorts it
+    in Python on lexicographic dictionary ranks (sorted strings are never
+    materialized), derives ``df`` / ``salt`` / ``lvl`` locally, and
+    encodes every (field, term, salt, lvl) group fully vectorized
+    (codec.encode_blocks_multi_buffers) — each binary stream becomes ONE
+    Arrow binary column built zero-copy from (buffer, offsets).
+
+    ``process(num, terms_all)`` yields RecordBatches of block rows.
+    ``num`` carries int64 field/doc_id/dl/tf, plus OPTIONAL float64 ``df``
+    (NaN = derive from the group's row count — tf rows are one per
+    (field, term, doc), so a complete group's size IS its df) and OPTIONAL
+    int64 ``salt`` (absent = derive ``doc_id % ceil(df / salt_target)``,
+    the exact JVM salting formula). Impact levels (df ≥ 8·block_size
+    only — stratifying a tail term would fragment its single block into
+    metadata bloat) and the final (field, term, salt, lvl desc, doc_id)
+    order are computed here, so callers never pre-sort.
+
+    Rows are sorted by the dictionary's LEXICOGRAPHIC rank, which both
+    keeps groups contiguous and leaves the written postings term-ordered —
+    parquet row-group min/max stats on ``term`` then prune query-time
+    block scans to the queried terms' row groups.
 
     ``field_stats``: field_id -> (n_docs, avgdl) — BM25 block bounds are
     computed under each FIELD's own corpus statistics, exactly like
     per-field Lucene similarities.
-
-    ``n_levels > 1`` = IMPACT-ORDERED layout: rows arrive additionally
-    sorted by descending quantized impact level (``lvl``) within each
-    (term, salt) group, and blocks never span a level boundary — so block
-    bounds are heterogeneous BY CONSTRUCTION and block-max WAND prunes
-    low-impact blocks even on uniform corpora (the Lucene impact-sorted
-    postings idea). Doc ids stay ascending within a block (delta encode
-    intact); blocks of one term remain doc-disjoint, so the θ argument is
-    unchanged.
-
-    Groups can span Arrow batches within a partition; the trailing group of
-    each batch is carried into the next. The carry is bounded by
-    salt_target rows by construction (hot terms are salted).
     """
+    import hashlib
+
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -178,7 +222,7 @@ def _encode_stream_fn(field_stats: dict, block_size: int,
     avgdl_arr = np.ones(max_f)
     for fid, (n_f, avgdl_f) in field_stats.items():
         n_arr[fid], avgdl_arr[fid] = n_f, avgdl_f
-    out_schema = pa.schema([
+    fields_schema = [
         ("bucket", pa.int32()), ("field", pa.int32()),
         ("term", pa.string()), ("block_id", pa.int64()),
         ("n_docs", pa.int32()), ("first_doc", pa.int64()),
@@ -186,109 +230,385 @@ def _encode_stream_fn(field_stats: dict, block_size: int,
         ("max_tf", pa.float64()), ("min_dl", pa.float64()),
         ("min_tf", pa.float64()), ("max_dl", pa.float64()),
         ("docs_bin", pa.binary()), ("tfs_bin", pa.binary()),
-        ("dls_bin", pa.binary())])
-
-    NUM = ("bucket", "field", "doc_id", "dl", "tf", "df", "salt", "lvl")
+        ("dls_bin", pa.binary())]
+    if not with_bucket:      # bucket rides the hive directory, not the file
+        fields_schema = fields_schema[1:]
+    out_schema = pa.schema(fields_schema)
+    lvl_min_df = float(8 * block_size)
+    # bound one output RecordBatch (and one kernel call) to ~4M posting
+    # rows, cut at group boundaries — keeps the Arrow binary columns far
+    # under the 2 GiB cap however large an input slice gets
+    chunk_rows = 4_000_000
 
     def _bin_col(buf: bytes, offs: np.ndarray) -> pa.Array:
         return pa.Array.from_buffers(
             pa.binary(), len(offs) - 1,
             [None, pa.py_buffer(offs), pa.py_buffer(buf)])
 
-    def _term_neq(terms: pa.Array) -> np.ndarray:
-        """terms[i] != terms[i-1] for i in 1..n-1, without materializing
-        Python strings (Arrow compute on the two shifted slices)."""
-        n = len(terms)
-        if n <= 1:
-            return np.zeros(0, dtype=bool)
-        return pc.not_equal(terms.slice(1), terms.slice(0, n - 1)) \
-            .to_numpy(zero_copy_only=False)
-
-    def encode_body(num: dict, terms: pa.Array) -> pa.RecordBatch:
-        doc_ids = num["doc_id"]
-        tfs, dls, dfs = num["tf"], num["dl"], num["df"]
-        fields = num["field"]
-        salts = num["salt"].astype(np.int64)
-        lvls = num["lvl"].astype(np.int64)
-        # a (field, term, salt) change starts a new group; a level change
-        # also starts a new block chain (impact layout: blocks never span
-        # levels). field changes imply term-bytes changes for distinct
-        # vocabularies, but the explicit field term keeps same-spelled
-        # terms of different fields apart.
-        gs = np.ones(len(doc_ids), dtype=bool)
-        gs[1:] = (_term_neq(terms) | (fields[1:] != fields[:-1])
+    def process(num: dict, terms_all: pa.Array):
+        n = len(terms_all)
+        if n == 0:
+            return
+        denc = terms_all.dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dictionary = denc.dictionary
+        # lexicographic rank per code: sorting on ranks orders rows by
+        # term BYTES without ever moving strings
+        sort_idx = pc.sort_indices(dictionary).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        rank_of_code = np.empty(len(dictionary), dtype=np.int64)
+        rank_of_code[sort_idx] = np.arange(len(dictionary))
+        ranks = rank_of_code[codes]
+        fields = num["field"].astype(np.int64)
+        doc_ids = num["doc_id"].astype(np.int64)
+        dls = num["dl"].astype(np.int64)
+        tfs = num["tf"].astype(np.int64)
+        dfs = (num["df"].astype(np.float64) if num.get("df") is not None
+               else np.full(n, np.nan))
+        missing = np.isnan(dfs)
+        if missing.any():
+            # df = group size — sort once by (field, rank) and scatter the
+            # run lengths back
+            gk = fields * np.int64(len(dictionary)) + ranks
+            order1 = np.argsort(gk, kind="stable")
+            gks = gk[order1]
+            st = np.ones(n, dtype=bool)
+            st[1:] = gks[1:] != gks[:-1]
+            sidx = np.flatnonzero(st)
+            runlen = np.diff(np.append(sidx, n))
+            run_df = np.empty(n, dtype=np.float64)
+            run_df[order1] = np.repeat(runlen, runlen)
+            dfs = np.where(missing, run_df, dfs)
+        if num.get("salt") is not None:
+            salts = num["salt"].astype(np.int64)
+        else:
+            nsalt = np.maximum(
+                np.int64(1),
+                np.ceil(dfs / float(salt_target)).astype(np.int64))
+            salts = doc_ids % nsalt
+        if n_levels > 1:
+            avg = avgdl_arr[fields]
+            tfn = tfs / (tfs + k1 * ((1.0 - b) + b * dls / avg))
+            lvls = np.where(
+                dfs >= lvl_min_df,
+                np.minimum(n_levels - 1, np.floor(tfn * n_levels)),
+                0.0).astype(np.int64)
+        else:
+            lvls = np.zeros(n, dtype=np.int64)
+        # final order: (field, term-rank, salt, lvl desc, doc_id)
+        perm = np.lexsort((doc_ids, -lvls, salts, ranks, fields))
+        fields, ranks, codes = fields[perm], ranks[perm], codes[perm]
+        doc_ids, dls, tfs = doc_ids[perm], dls[perm], tfs[perm]
+        dfs, salts, lvls = dfs[perm], salts[perm], lvls[perm]
+        gs = np.ones(n, dtype=bool)
+        gs[1:] = ((ranks[1:] != ranks[:-1]) | (fields[1:] != fields[:-1])
                   | (salts[1:] != salts[:-1]) | (lvls[1:] != lvls[:-1]))
-        blocks = codec.encode_blocks_multi_buffers(
-            doc_ids, tfs, dls, gs, block_size)
-        rs = blocks["row_start"]
-        n, avgdl = n_arr[fields], avgdl_arr[fields]
-        idf = np.log(1.0 + (n - dfs + 0.5) / (dfs + 0.5))
-        scores = idf * tfs / (tfs + k1 * (1 - b + b * dls / avgdl))
-        rs_idx = pa.array(rs, type=pa.int64())
-        cols = [
-            pa.array(num["bucket"][rs].astype(np.int32), type=pa.int32()),
-            pa.array(fields[rs].astype(np.int32), type=pa.int32()),
-            pc.take(terms, rs_idx),
-            pa.array((salts[rs] * n_levels + lvls[rs]) * 1_000_000
-                     + blocks["seq"], type=pa.int64()),
-            pa.array(blocks["n_docs"], type=pa.int32()),
-            pa.array(blocks["first_doc"], type=pa.int64()),
-            pa.array(blocks["last_doc"], type=pa.int64()),
-            pa.array(np.maximum.reduceat(scores, rs), type=pa.float64()),
-            # per-block (max_tf, min_dl) -> upper bound, (min_tf, max_dl)
-            # -> lower bound; both recomputable under *global* corpus
-            # stats by multi-segment readers (θ derives from real decoded
-            # scores; the lower-bound pair is retained for min-score skip
-            # strategies and old-reader compatibility)
-            pa.array(np.maximum.reduceat(tfs, rs).astype(np.float64)),
-            pa.array(np.minimum.reduceat(dls, rs).astype(np.float64)),
-            pa.array(np.minimum.reduceat(tfs, rs).astype(np.float64)),
-            pa.array(np.maximum.reduceat(dls, rs).astype(np.float64)),
-            _bin_col(blocks["docs_buf"], blocks["docs_off"]),
-            _bin_col(blocks["tfs_buf"], blocks["tfs_off"]),
-            _bin_col(blocks["dls_buf"], blocks["dls_off"]),
-        ]
-        return pa.RecordBatch.from_arrays(cols, schema=out_schema)
+        if with_bucket:
+            # bucket per UNIQUE dictionary term (the md5 mapping of
+            # bucket_of) — ~#vocab/partition short hashes per task instead
+            # of one int32 per posting row over the boundary
+            buckets_by_code = np.fromiter(
+                (int.from_bytes(hashlib.md5(t).digest()[:4], "big")
+                 % n_buckets
+                 for t in dictionary.cast(pa.binary()).to_pylist()),
+                dtype=np.int32, count=len(dictionary))
+
+        def emit(a: int, e: int) -> pa.RecordBatch:
+            sl = slice(a, e)
+            f_s, c_s, d_s = fields[sl], codes[sl], doc_ids[sl]
+            dl_s, tf_s, df_s = dls[sl], tfs[sl], dfs[sl]
+            sa_s, lv_s = salts[sl], lvls[sl]
+            blocks = codec.encode_blocks_multi_buffers(
+                d_s, tf_s, dl_s, gs[sl], block_size)
+            rs = blocks["row_start"]
+            n_f, avg = n_arr[f_s], avgdl_arr[f_s]
+            idf = np.log(1.0 + (n_f - df_s + 0.5) / (df_s + 0.5))
+            scores = idf * tf_s / (tf_s + k1 * (1 - b + b * dl_s / avg))
+            bc = c_s[rs]
+            cols = [
+                pa.array(f_s[rs].astype(np.int32), type=pa.int32()),
+                pc.take(dictionary, pa.array(bc, type=pa.int64())),
+                pa.array((sa_s[rs] * n_levels + lv_s[rs]) * 1_000_000
+                         + blocks["seq"], type=pa.int64()),
+                pa.array(blocks["n_docs"], type=pa.int32()),
+                pa.array(blocks["first_doc"], type=pa.int64()),
+                pa.array(blocks["last_doc"], type=pa.int64()),
+                pa.array(np.maximum.reduceat(scores, rs),
+                         type=pa.float64()),
+                # per-block (max_tf, min_dl) -> upper bound, (min_tf,
+                # max_dl) -> lower bound; both recomputable under *global*
+                # corpus stats by multi-segment readers (θ derives from
+                # real decoded scores; the lower-bound pair is retained
+                # for min-score skip strategies and reader compatibility)
+                pa.array(np.maximum.reduceat(tf_s, rs).astype(np.float64)),
+                pa.array(np.minimum.reduceat(dl_s, rs).astype(np.float64)),
+                pa.array(np.minimum.reduceat(tf_s, rs).astype(np.float64)),
+                pa.array(np.maximum.reduceat(dl_s, rs).astype(np.float64)),
+                _bin_col(blocks["docs_buf"], blocks["docs_off"]),
+                _bin_col(blocks["tfs_buf"], blocks["tfs_off"]),
+                _bin_col(blocks["dls_buf"], blocks["dls_off"]),
+            ]
+            if with_bucket:
+                cols.insert(0, pa.array(buckets_by_code[bc],
+                                        type=pa.int32()))
+            return pa.RecordBatch.from_arrays(cols, schema=out_schema)
+
+        if n <= chunk_rows:
+            yield emit(0, n)
+            return
+        gidx = np.flatnonzero(gs)
+        cuts = np.unique(gidx[np.searchsorted(
+            gidx, np.arange(chunk_rows, n, chunk_rows), side="left")])
+        prev = 0
+        for c in cuts.tolist() + [n]:
+            if c > prev:
+                yield emit(prev, c)
+                prev = c
+
+    return process
+
+
+def _encode_bucket_task_fn(src_dir: str, src_kind: str, out_dir: str,
+                           term_dict_dir: str, buckets: list,
+                           field_stats: dict, block_size: int,
+                           n_levels: int, salt_target: int):
+    """Per-BUCKET direct encode (round-7 v3/v4, the default path): the
+    task reads its bucket's posting source straight from parquet with
+    pyarrow (columnar, no JVM row conversion) and writes the finished
+    posting blocks — AND the bucket's term-dictionary rows — straight
+    back as parquet. The posting rows never cross the JVM↔Python
+    boundary at all.
+
+    ``src_kind``:
+
+    * ``"tf"`` — the bucket dir holds materialized (field, term, doc_id,
+      dl, tf) rows (no-positions builds).
+    * ``"pos"`` — the bucket dir holds raw positional rows; tf is derived
+      here as the (field, term, doc_id) multiplicity (one lexsort + run
+      lengths). This removes the build's LAST wide operation: the 50M+-row
+      tf groupBy shuffle existed only to materialize what one in-task
+      run-length pass computes (round-7 v4).
+
+    Why this is sound: ``bucket = md5(term) % n_buckets``, so a bucket
+    directory holds EVERY row of its terms — groups are complete by
+    construction (df = run length, salting derived locally, term_dict
+    aggregates exact), and the per-task working set is
+    total_postings / n_buckets, the same quantity that already sizes the
+    index's file layout (n_buckets scales with the cluster). The round-7
+    probes measured the JVM→Python Arrow conversion at ~12-15 s per
+    1M-turn build (≈15 µs/row even for 4 narrow numeric columns) while
+    the numpy encode kernel costs ~0.2 s: the boundary WAS the stage.
+    Guide §8's rule, taken to its limit: the heavy rows move zero times.
+
+    The emitted term_dict rows replicate the JVM aggregation EXACTLY
+    (same expression order on IEEE doubles: df/cf/max_tf/min_dl are exact
+    reductions, max_tfn_real and max_score_ub mirror the column formulas,
+    term_id is the (field, term)-ordered row number plus the bucket
+    prefix) — verified bit-identical against the JVM term_dict in the
+    round-7 A/B. Only the term_bounds sidecar keeps its (tiny) Spark job:
+    its percentile_approx sketch is not worth re-implementing.
+
+    Returns a mapInArrow function over a one-row-per-partition range
+    frame; partition i encodes ``buckets[i]`` and yields one stats row.
+    Output files are written tmp-then-rename with a pre-clean, so task
+    retries and resume re-runs stay idempotent.
+    """
+
+    def task(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as papq
+        k1, b = S.K1, S.B
+        max_f = max(field_stats) + 1
+        n_arr = np.zeros(max_f)
+        avgdl_arr = np.ones(max_f)
+        for fid, (n_f, avgdl_f) in field_stats.items():
+            n_arr[fid], avgdl_arr[fid] = n_f, avgdl_f
+        process = _encoder_core(field_stats, block_size, n_levels,
+                                salt_target, with_bucket=False, n_buckets=0)
+        tdict_schema = pa.schema([
+            ("field", pa.int32()), ("term", pa.string()),
+            ("df", pa.float64()), ("cf", pa.int64()),
+            ("max_tf", pa.float64()), ("min_dl", pa.float64()),
+            ("max_tfn_real", pa.float64()),
+            ("max_score_ub", pa.float64()), ("term_id", pa.int64())])
+
+        def write_dir(d: str, table) -> None:
+            os.makedirs(d, exist_ok=True)
+            tmp = os.path.join(d, "part-0.parquet.tmp")
+            # snappy + 64k-row groups: both outputs are term-sorted, so
+            # small row groups give query-time term filters tight min/max
+            # pruning (the old single-row-group layout decoded the whole
+            # bucket file per queried term)
+            papq.write_table(table, tmp, compression="snappy",
+                             row_group_size=65536)
+            os.replace(tmp, os.path.join(d, "part-0.parquet"))
+
+        def term_dict_table(num: dict, terms: pa.Array, bkt: int):
+            """Exact replica of the JVM term_dict aggregation for this
+            bucket's (field, term, doc, dl, tf) rows."""
+            n = len(terms)
+            denc = terms.dictionary_encode()
+            codes = denc.indices.to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            dictionary = denc.dictionary
+            sort_idx = pc.sort_indices(dictionary).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            rank_of_code = np.empty(len(dictionary), dtype=np.int64)
+            rank_of_code[sort_idx] = np.arange(len(dictionary))
+            ranks = rank_of_code[codes]
+            fields = num["field"].astype(np.int64)
+            dls = num["dl"].astype(np.int64)
+            tfs = num["tf"].astype(np.int64)
+            gk = fields * np.int64(len(dictionary)) + ranks
+            order = np.argsort(gk, kind="stable")
+            gks = gk[order]
+            st = np.ones(n, dtype=bool)
+            st[1:] = gks[1:] != gks[:-1]
+            starts = np.flatnonzero(st)
+            dfs = np.diff(np.append(starts, n)).astype(np.float64)
+            f_s = fields[order]
+            tf_s, dl_s = tfs[order], dls[order]
+            avg = avgdl_arr[f_s]
+            # per-row real tf-normalization (same expression order as the
+            # JVM column: tf / (tf + k1 * (1 - b + b * dl / avgdl)))
+            tfn = tf_s / (tf_s + k1 * ((1.0 - b) + b * dl_s / avg))
+            g_field = f_s[starts]
+            max_tf = np.maximum.reduceat(tf_s, starts).astype(np.float64)
+            min_dl = np.minimum.reduceat(dl_s, starts).astype(np.float64)
+            cf = np.add.reduceat(tf_s, starts)
+            mtr = np.maximum.reduceat(tfn, starts)
+            n_f = n_arr[g_field]
+            avg_f = avgdl_arr[g_field]
+            idf = np.log(1.0 + (n_f - dfs + 0.5) / (dfs + 0.5))
+            smax = (idf * max_tf
+                    / (max_tf + k1 * (1 - b + b * min_dl / avg_f)))
+            g_codes = codes[order][starts]
+            # dense 1-based (field, term)-ordered id + the bucket prefix —
+            # the JVM row_number() window replica
+            term_id = (np.arange(1, starts.size + 1, dtype=np.int64)
+                       + (np.int64(bkt) << np.int64(40)))
+            return pa.Table.from_arrays([
+                pa.array(g_field.astype(np.int32), type=pa.int32()),
+                pc.take(dictionary, pa.array(g_codes, type=pa.int64())),
+                pa.array(dfs, type=pa.float64()),
+                pa.array(cf, type=pa.int64()),
+                pa.array(max_tf, type=pa.float64()),
+                pa.array(min_dl, type=pa.float64()),
+                pa.array(mtr, type=pa.float64()),
+                pa.array(smax, type=pa.float64()),
+                pa.array(term_id, type=pa.int64()),
+            ], schema=tdict_schema)
+
+        for batch in batches:
+            for i in batch.column(0).to_pylist():
+                bkt = buckets[int(i)]
+                src = os.path.join(src_dir, f"bucket={bkt}")
+                dst = os.path.join(out_dir, f"bucket={bkt}")
+                tdst = os.path.join(term_dict_dir, f"bucket={bkt}")
+                for d in (dst, tdst):
+                    if os.path.isdir(d):
+                        shutil.rmtree(d)
+                if not os.path.isdir(src):
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array([bkt], type=pa.int32()),
+                         pa.array([0], type=pa.int64())],
+                        names=["bucket", "n_blocks"])
+                    continue
+                if src_kind == "tf":
+                    tbl = pads.dataset(src, format="parquet").to_table(
+                        columns=["field", "term", "doc_id", "dl", "tf"])
+                    num = {k: tbl.column(k).to_numpy(zero_copy_only=False)
+                           for k in ("field", "doc_id", "dl", "tf")}
+                    terms = tbl.column("term").combine_chunks()
+                else:
+                    # positional rows -> tf = (field, term, doc)
+                    # multiplicity via one lexsort + run lengths (the
+                    # ``pos`` column itself is pruned at the scan)
+                    tbl = pads.dataset(src, format="parquet").to_table(
+                        columns=["field", "term", "doc_id", "dl"])
+                    f0 = tbl.column("field").to_numpy(
+                        zero_copy_only=False).astype(np.int64)
+                    d0 = tbl.column("doc_id").to_numpy(
+                        zero_copy_only=False).astype(np.int64)
+                    l0 = tbl.column("dl").to_numpy(
+                        zero_copy_only=False).astype(np.int64)
+                    t0 = tbl.column("term").combine_chunks()
+                    denc0 = t0.dictionary_encode()
+                    c0 = denc0.indices.to_numpy(
+                        zero_copy_only=False).astype(np.int64)
+                    order = np.lexsort((d0, c0, f0))
+                    f1, c1 = f0[order], c0[order]
+                    d1, l1 = d0[order], l0[order]
+                    st = np.ones(len(f1), dtype=bool)
+                    st[1:] = ((f1[1:] != f1[:-1]) | (c1[1:] != c1[:-1])
+                              | (d1[1:] != d1[:-1]))
+                    starts = np.flatnonzero(st)
+                    num = {"field": f1[starts], "doc_id": d1[starts],
+                           "dl": l1[starts],
+                           "tf": np.diff(np.append(
+                               starts, len(f1))).astype(np.int64)}
+                    terms = pc.take(denc0.dictionary, pa.array(
+                        c1[starts], type=pa.int64()))
+                write_dir(tdst, term_dict_table(num, terms, bkt))
+                out_batches = list(process(num, terms))
+                n_blocks = 0
+                if out_batches:
+                    out = pa.Table.from_batches(out_batches)
+                    n_blocks = out.num_rows
+                    write_dir(dst, out)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([bkt], type=pa.int32()),
+                     pa.array([n_blocks], type=pa.int64())],
+                    names=["bucket", "n_blocks"])
+
+    return task
+
+
+def _encode_stream_fn(field_stats: dict, block_size: int,
+                      n_levels: int = 1, n_buckets: int = 32,
+                      salt_target: int = 1 << 16):
+    """mapInArrow block encoder over a (field, term, salt)-partitioned
+    posting stream — the bounded-memory FALLBACK path (the default
+    per-bucket path is :func:`_encode_bucket_task_fn`): per-task memory is
+    capped by ``salt_target`` via the shuffle regardless of how large one
+    bucket's postings grow. Input columns (field, term, doc_id, dl, tf,
+    df, salt) with df NULLABLE — null rows are un-salted, their group is
+    complete in the partition and the core derives df from the run
+    length; salted rows carry df/salt from the JVM because one task sees
+    only one salt slice.
+    """
 
     def gen(batches):
-        carry_num, carry_terms = None, None
+        import pyarrow as pa
+        NUM = ("field", "doc_id", "dl", "tf", "df", "salt")
+        num_parts = {k: [] for k in NUM}
+        term_parts = []
         for batch in batches:
             if batch.num_rows == 0:
                 continue
             by_name = {batch.schema.names[i]: batch.column(i)
                        for i in range(batch.num_columns)}
-            num = {k: by_name[k].to_numpy(zero_copy_only=False)
-                   for k in NUM}
-            num["df"] = num["df"].astype(np.float64)
-            for k in ("doc_id", "dl", "tf"):
-                num[k] = num[k].astype(np.int64)
-            terms = by_name["term"]
-            if isinstance(terms, pa.ChunkedArray):
-                terms = terms.combine_chunks()
-            if carry_num is not None:
-                num = {k: np.concatenate([carry_num[k], num[k]])
-                       for k in num}
-                terms = pa.concat_arrays([carry_terms, terms])
-            # tail = the trailing (field, term, salt) run; sorted input
-            # keeps it contiguous at the batch end
-            ts_change = (_term_neq(terms)
-                         | (num["field"][1:] != num["field"][:-1])
-                         | (num["salt"][1:] != num["salt"][:-1]))
-            bounds = np.flatnonzero(ts_change)
-            if bounds.size == 0:
-                carry_num, carry_terms = num, terms
-                continue
-            tail_start = int(bounds[-1]) + 1
-            carry_num = {k: v[tail_start:] for k, v in num.items()}
-            carry_terms = terms.slice(tail_start)
-            yield encode_body({k: v[:tail_start] for k, v in num.items()},
-                              terms.slice(0, tail_start))
-        if carry_num is not None and len(carry_num["doc_id"]):
-            yield encode_body(carry_num, carry_terms)
+            for k in NUM:
+                num_parts[k].append(
+                    by_name[k].to_numpy(zero_copy_only=False))
+            t = by_name["term"]
+            if isinstance(t, pa.ChunkedArray):
+                t = t.combine_chunks()
+            term_parts.append(t)
+        if not term_parts:
+            return
+        terms_all = (pa.concat_arrays(term_parts)
+                     if len(term_parts) > 1 else term_parts[0])
+        num = {k: (np.concatenate(v) if len(v) > 1 else v[0])
+               for k, v in num_parts.items()}
+        process = _encoder_core(field_stats, block_size, n_levels,
+                                salt_target, with_bucket=True,
+                                n_buckets=n_buckets)
+        yield from process(num, terms_all)
 
     return gen
-
-
 
 
 def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
@@ -431,6 +751,7 @@ def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
     # job's tasks back-fill executors freed by the first job's tail
     # (guide §2.6 'overlap independent jobs'); total CPU work is
     # unchanged, the tail/straggler idle time is what this recovers
+    _prewarm_python_workers(spark)
     from concurrent.futures import ThreadPoolExecutor
     jobs = []
     if not done("stage_docs.done"):
@@ -473,24 +794,30 @@ def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
                        "with_positions": with_positions}, f)
     lap("corpus_stats")
 
-    # -- stage 3b: tf partials. Count-only groupBy = map-side partial
-    #    aggregation; the shuffle carries (bucket, term, doc_id, dl, count)
-    #    ints only. When positions were written, tf derives from that
-    #    parquet (column-pruned — no second tokenize pass).
+    # -- stage 3b: tf partials — NO-POSITIONS builds only. Count-only
+    #    groupBy = map-side partial aggregation; the shuffle carries
+    #    (bucket, term, doc_id, dl, count) ints only. POSITIONAL builds
+    #    skip this stage entirely (round-7 v4): the per-bucket encoder
+    #    derives tf as the (field, term, doc) run length over its
+    #    pos_partial slice, so materializing tf was a pure 50M+-row
+    #    shuffle+write for data one in-task pass reconstructs — with it
+    #    gone, the positional build's ONLY wide operation is the
+    #    doc-id range partition.
     tf_path = os.path.join(seg_dir, "tf_partial")
-    if not done("stage_tf.done"):
-        src = (spark.read.parquet(pos_path).drop("pos")
-               if with_positions else exploded.drop("pos"))
-        tf = (src.groupBy("bucket", "field", "term", "doc_id", "dl")
-              .agg(F.count("*").alias("tf")))
-        # write dynamic-partitioned straight off the aggregation — the old
-        # repartition(n_buckets) re-shuffled every tf row a second time
-        # purely for file layout; the writer's internal partition-column
-        # sort achieves the same hive layout for one local sort
-        (tf.sortWithinPartitions("bucket", "field", "term")
-           .write.mode("overwrite").partitionBy("bucket").parquet(tf_path))
-        mark("stage_tf.done")
-    lap("tf_partial")
+    if not with_positions:
+        if not done("stage_tf.done"):
+            tf = (exploded.drop("pos")
+                  .groupBy("bucket", "field", "term", "doc_id", "dl")
+                  .agg(F.count("*").alias("tf")))
+            # write dynamic-partitioned straight off the aggregation — a
+            # repartition(n_buckets) would re-shuffle every tf row a
+            # second time purely for file layout; the writer's internal
+            # partition-column sort achieves the same hive layout
+            (tf.sortWithinPartitions("bucket", "field", "term")
+               .write.mode("overwrite").partitionBy("bucket")
+               .parquet(tf_path))
+            mark("stage_tf.done")
+        lap("tf_partial")
     ids._cached_base.unpersist()
 
     n_terms_total, built_groups = _term_dict_and_postings(
@@ -517,16 +844,31 @@ def _term_dict_and_postings(spark: SparkSession, seg_dir: str,
                             done, mark, lap,
                             impact_order: bool = False,
                             fail_after_group: int = -1) -> tuple:
-    """Stages 4+5 (term dictionary + salted block encode) from the
-    segment's ``tf_partial`` table — shared by :func:`build_index` and
-    :func:`compact_index` (segment merging rebuilds the dictionary and
-    postings from the UNION of the input segments' tf partials under the
-    merged corpus stats). Returns ``(n_terms_total, built_groups)``."""
-    tf_stored = spark.read.parquet(os.path.join(seg_dir, "tf_partial"))
+    """Stages 4+5 (term dictionary + block encode) — shared by
+    :func:`build_index` and :func:`compact_index` (segment merging
+    rebuilds the dictionary and postings from the UNION of the input
+    segments' partials under the merged corpus stats). The source is the
+    segment's ``tf_partial`` table when it exists (no-positions builds),
+    else the raw ``pos_partial`` table with tf derived in-task (round-7
+    v4: positional builds skip the tf shuffle entirely). Returns
+    ``(n_terms_total, built_groups)``."""
+    tf_dir = os.path.join(seg_dir, "tf_partial")
+    pos_dir = os.path.join(seg_dir, "pos_partial")
+    have_tf = os.path.isdir(tf_dir)
+    src_dir, src_kind = (tf_dir, "tf") if have_tf else (pos_dir, "pos")
+    # tf rows as a DataFrame — only the FALLBACK paths evaluate this (the
+    # derived form re-aggregates from positions on the fly)
+    tf_stored = (spark.read.parquet(tf_dir) if have_tf else
+                 spark.read.parquet(pos_dir).drop("pos")
+                 .groupBy("bucket", "field", "term", "doc_id", "dl")
+                 .agg(F.count("*").alias("tf")))
 
     # -- stage 4: term dictionary + WAND term upper bounds ------------------
     term_dict_path = os.path.join(seg_dir, "term_dict")
-    if not done("stage_termdict.done"):
+
+    def _write_term_dict():
+        if done("stage_termdict.done"):
+            return
         k1, b = S.K1, S.B
         # per-FIELD corpus stats drive the bounds (literal-map lookup)
         n_col = F.create_map(*[x for fid, (nf, _af) in field_stats.items()
@@ -573,115 +915,115 @@ def _term_dict_and_postings(spark: SparkSession, seg_dir: str,
            .option("parquet.block.size", str(4 << 20))
            .parquet(term_dict_path))
         mark("stage_termdict.done")
-    lap("term_dict")
 
-    term_df = spark.read.parquet(term_dict_path).select(
-        "term", "field", "bucket", "df")
-    # a planet-scale term dictionary must NOT be force-broadcast: join
-    # strategy flips to shuffle join past a size threshold (both sides are
-    # bucket-pruned per group job, so the shuffle is per-bucket-group only)
-    n_terms_total = term_df.count()
-    broadcast_terms = n_terms_total <= broadcast_term_limit // max(n_groups, 1)
-
-    # -- stage 5: salted block encode, per bucket-group jobs ----------------
+    # -- stage 5: block encode, per bucket-group jobs -----------------------
     groups = [sorted(range(n_buckets))[i::n_groups] for i in range(n_groups)]
     postings_path = os.path.join(seg_dir, "postings")
     n_levels = 8 if impact_order else 1
-    enc = _encode_stream_fn(field_stats, block_size, n_levels)
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     built_groups = 0
-    # impact level: the tf-normalization term quantized to 8 buckets under
-    # the field's own corpus stats (idf is constant per term, so ordering
-    # by tf-norm == ordering by score within a term). HOT TERMS ONLY
-    # (df ≥ 8·block_size, the same threshold as the term_bounds sidecar):
-    # stratifying a tail term would fragment its single block into up to
-    # n_levels mini-blocks — pure metadata bloat, since WAND only ever
-    # prunes terms with many blocks. This is what makes the impact layout
-    # safe as the BUILD DEFAULT (round-3 VERDICT item 6): hot terms get
-    # heterogeneous block bounds, the long tail stays doc-ordered intact.
-    if impact_order:
-        k1, b = S.K1, S.B
-        avgdl_col = F.create_map(
-            *[x for fid, (_nf, af) in field_stats.items()
-              for x in (F.lit(fid), F.lit(af))])[F.col("field")]
-        tfn = (F.col("tf") / (F.col("tf") + F.lit(k1)
-                              * (F.lit(1.0 - b)
-                                 + F.lit(b) * F.col("dl") / avgdl_col)))
-        lvl_col = F.when(
-            F.col("df") >= F.lit(float(8 * block_size)),
-            F.least(F.lit(n_levels - 1),
-                    F.floor(tfn * n_levels))).otherwise(F.lit(0)) \
-            .cast("int")
+    # DEFAULT: direct per-bucket encode (round-7 v3/v4) — pyarrow reads
+    # each bucket's slice and writes its posting blocks AND its term_dict
+    # rows; no shuffle, no JVM↔Python row conversion, no separate stage-4
+    # job (see _encode_bucket_task_fn). The task working set is one bucket
+    # (total_postings / n_buckets — the quantity n_buckets is already
+    # sized by); past _DIRECT_BUCKET_MAX_BYTES of on-disk source per
+    # bucket, or when forced (broadcast_term_limit <= 0), fall back to
+    # the stage-4 JVM dictionary + shuffled encoder whose per-task memory
+    # is capped by salt_target regardless of bucket size.
+    biggest_bucket = 0
+    if os.path.isdir(src_dir):
+        for d in os.listdir(src_dir):
+            p = os.path.join(src_dir, d)
+            if d.startswith("bucket=") and os.path.isdir(p):
+                sz = sum(os.path.getsize(os.path.join(p, f))
+                         for f in os.listdir(p))
+                biggest_bucket = max(biggest_bucket, sz)
+    use_direct = (broadcast_term_limit > 0
+                  and biggest_bucket <= _DIRECT_BUCKET_MAX_BYTES)
+    if use_direct:
+        for gi, buckets in enumerate(groups):
+            if done(f"group_{gi}.done"):
+                continue
+            spark.sparkContext.setJobDescription(
+                f"encode group {gi}: direct per-bucket "
+                f"({len(buckets)} tasks)")
+            task = _encode_bucket_task_fn(
+                src_dir, src_kind,
+                os.path.join(postings_path, f"group={gi}"),
+                term_dict_path, buckets, field_stats, block_size,
+                n_levels, salt_target)
+            res = (spark.range(0, len(buckets), 1, len(buckets))
+                   .mapInArrow(task, schema="bucket int, n_blocks long")
+                   .collect())
+            spark.sparkContext.setJobDescription(None)
+            if len(res) != len(buckets):
+                raise RuntimeError(
+                    f"encode group {gi}: {len(res)}/{len(buckets)} "
+                    "bucket tasks reported")
+            mark(f"group_{gi}.done")
+            lap(f"encode_g{gi}")
+            built_groups += 1
+            if fail_after_group >= 0 and built_groups >= fail_after_group:
+                raise RuntimeError(f"injected failure after group {gi}")
+        if not done("stage_termdict.done"):
+            mark("stage_termdict.done")
     else:
-        lvl_col = F.lit(0)
-    # Arrow batch size for the encoder boundary: measured U-shape — 64k-row
-    # batches allocate ~33 MB bursts JVM-side and stall on GCLocker
-    # (15.9 s consume), 4k pays per-batch overhead; 16k is the sweet spot
-    # (11.7 s) for these 9-column ~60 B rows (guide §4.2: tune batch size
-    # to the row shape). Restored after the encode jobs.
-    _arrow_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
-    _arrow_prev = spark.conf.get(_arrow_key)
-    spark.conf.set(_arrow_key, "16384")
-    for gi, buckets in enumerate(groups):
-        if done(f"group_{gi}.done"):
-            continue
-        dim = (term_df.where(F.col("bucket").isin(buckets))
-               .select("field", "term", "df"))
-        tf_g = tf_stored.where(F.col("bucket").isin(buckets))  # partition pruning
-        lean_cols = ["bucket", "field", "term", "doc_id", "dl",
-                     "tf", "df", "salt", "lvl"]
-        # dim join: broadcast under the vocab threshold, shuffle join past
-        # it (planet-scale dictionaries must not be force-broadcast).
-        # SHUFFLE_HASH, not sort-merge: the probe side is the full postings
-        # relation and the join key is the (field, term) STRING pair — a
-        # sort-merge join string-sorts every posting row, while the hash
-        # join only builds a per-partition table of dictionary rows
-        # (guide §3.1; measured on the 1M-turn bench where the 5M-term
-        # vocab exceeds the broadcast limit)
-        dim_j = F.broadcast(dim) if broadcast_terms \
-            else dim.hint("SHUFFLE_HASH")
-        part = (tf_g.join(dim_j, ["field", "term"])
-                .withColumn("nsalt", F.greatest(
-                    F.lit(1),
-                    F.ceil(F.col("df") / F.lit(float(salt_target)))
-                ).cast("int"))
-                .withColumn("salt",
-                            (F.col("doc_id") % F.col("nsalt")).cast("int"))
-                .withColumn("lvl", lvl_col))
-        # the merge shuffle: co-locate each (field, term, salt) group — hot
-        # terms salted so no task sees more than ~salt_target rows of one
-        # term. The term STRING rides the shuffle (round-7: the previous
-        # all-int term_id row forced a second 5M-row join to re-attach the
-        # string on block rows, which re-shuffled every block PAYLOAD —
-        # measurably costlier than the wider sort key). Impact layout adds
-        # lvl DESC to the in-task sort: high-impact blocks first; doc_id
-        # stays ascending within a level.
-        # 2x-core partition floor: the encode stage is bounded by the
-        # JVM->Python Arrow conversion (~14 us/row), which scales past one
-        # wave of tasks (measured 15->11 s going 32->64 partitions on 32
-        # cores) — finer tasks also shrink the per-task sort
-        stream = (part.select(*lean_cols)
-                  .repartition(max(n_shuffle // n_groups, len(buckets),
-                                   2 * spark.sparkContext.defaultParallelism),
-                               "field", "term", "salt")
-                  .sortWithinPartitions(F.col("field"), F.col("term"),
-                                        F.col("salt"),
-                                        F.col("lvl").desc(),
-                                        F.col("doc_id")))
-        blocks = stream.mapInArrow(enc, schema=POSTINGS_SCHEMA)
-        # compact: block rows are ~1000x fewer than postings, so this extra
-        # tiny shuffle buys one file per bucket — query-time file listing and
-        # footer reads stay O(buckets), not O(buckets x encode tasks)
-        (blocks.repartition(len(buckets), "bucket")
-               .write.mode("overwrite").partitionBy("bucket")
-               .parquet(os.path.join(postings_path, f"group={gi}")))
-        mark(f"group_{gi}.done")
-        lap(f"encode_g{gi}")
-        built_groups += 1
-        if fail_after_group >= 0 and built_groups >= fail_after_group:
-            spark.conf.set(_arrow_key, _arrow_prev)
-            raise RuntimeError(f"injected failure after group {gi}")
-    spark.conf.set(_arrow_key, _arrow_prev)
+        _write_term_dict()
+        lap("term_dict")
+        term_df = spark.read.parquet(term_dict_path).select(
+            "term", "field", "bucket", "df")
+        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        enc = _encode_stream_fn(field_stats, block_size, n_levels,
+                                n_buckets, salt_target)
+        # Arrow batch size for the boundary: measured U-shape — 64k-row
+        # batches allocate ~33 MB bursts JVM-side and stall on GCLocker,
+        # 4k pays per-batch overhead; 16k is the sweet spot for these
+        # narrow rows (guide §4.2). Restored after the encode jobs.
+        _arrow_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+        _arrow_prev = spark.conf.get(_arrow_key)
+        spark.conf.set(_arrow_key, "16384")
+        lean = ["field", "term", "doc_id",
+                F.col("dl").cast("int").alias("dl"),
+                F.col("tf").cast("int").alias("tf")]
+        for gi, buckets in enumerate(groups):
+            if done(f"group_{gi}.done"):
+                continue
+            tf_g = tf_stored.where(F.col("bucket").isin(buckets))
+            n_part = max(n_shuffle // n_groups, len(buckets),
+                         2 * spark.sparkContext.defaultParallelism)
+            # attach df to every row with a SHUFFLE_HASH dim join
+            # (sort-merge would string-sort every posting row; the hash
+            # join builds only per-partition dictionary tables), then the
+            # ONE wide operation: co-locate each (field, term, salt) group
+            # — hot terms salted so no task sees more than ~salt_target
+            # rows of one term
+            dim = (term_df.where(F.col("bucket").isin(buckets))
+                   .select("field", "term", "df"))
+            stream = (tf_g.join(dim.hint("SHUFFLE_HASH"), ["field", "term"])
+                      .withColumn("nsalt", F.greatest(
+                          F.lit(1),
+                          F.ceil(F.col("df") / F.lit(float(salt_target)))
+                      ).cast("int"))
+                      .withColumn("salt", (F.col("doc_id")
+                                           % F.col("nsalt")).cast("int"))
+                      .select(*lean, "df", "salt")
+                      .repartition(n_part, "field", "term", "salt"))
+            blocks = stream.mapInArrow(enc, schema=POSTINGS_SCHEMA)
+            # compact: block rows are ~1000x fewer than postings, so this
+            # extra tiny shuffle buys one file per bucket — query-time
+            # file listing and footer reads stay O(buckets), not
+            # O(buckets x encode tasks)
+            (blocks.repartition(len(buckets), "bucket")
+                   .write.mode("overwrite").partitionBy("bucket")
+                   .parquet(os.path.join(postings_path, f"group={gi}")))
+            mark(f"group_{gi}.done")
+            lap(f"encode_g{gi}")
+            built_groups += 1
+            if fail_after_group >= 0 and built_groups >= fail_after_group:
+                spark.conf.set(_arrow_key, _arrow_prev)
+                raise RuntimeError(f"injected failure after group {gi}")
+        spark.conf.set(_arrow_key, _arrow_prev)
+    n_terms_total = spark.read.parquet(term_dict_path).count()
     if not done("term_bounds.done"):
         # per-(field, term) MIN over blocks of the block upper-bound's
         # tf-normalization (df-independent; idf re-attaches at query time).
@@ -1093,6 +1435,9 @@ def compact_index(spark: SparkSession, out_dir: str, *,
             out = out.unionByName(d)
         return out
 
+    # worker-pool spawn overlaps the JVM-only union/copy stages
+    _prewarm_python_workers(spark)
+
     if not done("stage_docs.done"):
         (union_read("doc_store").sortWithinPartitions("kw_hash")
          .write.mode("overwrite").parquet(os.path.join(seg_dir, "doc_store")))
@@ -1105,12 +1450,15 @@ def compact_index(spark: SparkSession, out_dir: str, *,
          .parquet(os.path.join(seg_dir, "pos_partial")))
         mark("stage_pos.done")
     lap("pos_partial")
-    if not done("stage_tf.done"):
-        (union_read("tf_partial").repartition(n_buckets, "bucket")
-         .write.mode("overwrite").partitionBy("bucket")
-         .parquet(os.path.join(seg_dir, "tf_partial")))
-        mark("stage_tf.done")
-    lap("tf_partial")
+    if not with_positions:
+        # positional segments carry no tf_partial (round-7 v4: tf derives
+        # from the unified pos_partial in the per-bucket encode)
+        if not done("stage_tf.done"):
+            (union_read("tf_partial").repartition(n_buckets, "bucket")
+             .write.mode("overwrite").partitionBy("bucket")
+             .parquet(os.path.join(seg_dir, "tf_partial")))
+            mark("stage_tf.done")
+        lap("tf_partial")
     stats_path = os.path.join(seg_dir, "corpus_stats.json")
     if not (resume and os.path.exists(stats_path)):
         with open(stats_path, "w") as f:

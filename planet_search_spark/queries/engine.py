@@ -191,59 +191,6 @@ def _load_blocks(spark: SparkSession, idx: IndexMeta, terms: list[str],
             .where(F.col("term").isin(list(set(terms)))))
 
 
-def _term_stats(spark: SparkSession, idx: IndexMeta, terms: list[str],
-                field_ids: tuple = (TEXT_FIELD,)) -> DataFrame:
-    """Global per-(field, term) stats: df summed across segments; the WAND
-    term upper bound recomputed from per-segment (max_tf, min_dl) under the
-    GLOBAL per-field (N, avgdl) — (max_tf, min_dl) dominates any real
-    (tf, dl), so the bound stays valid after appends."""
-    buckets = sorted({bucket_of(t, idx.n_buckets) for t in terms})
-    td = (_union_read(spark, idx, "term_dict")
-          .where(F.col("bucket").isin(buckets))
-          .where(F.col("field").isin(list(field_ids)))
-          .where(F.col("term").isin(list(set(terms)))))
-    if "max_tfn_real" not in td.columns:
-        td = td.withColumn("max_tfn_real", F.lit(None).cast("double"))
-    agg = td.groupBy("field", "term").agg(
-        F.sum("df").alias("df"),
-        F.max("max_tf").alias("max_tf"),
-        F.min("min_dl").alias("min_dl"),
-        # a NULL from any pre-round-3 segment must poison the max (an
-        # unknown segment max invalidates the θ cap), hence the explicit
-        # null-count guard instead of null-skipping F.max alone
-        F.max("max_tfn_real").alias("max_tfn_real"),
-        F.sum(F.col("max_tfn_real").isNull().cast("int")).alias("_mtr_nulls"))
-    agg = agg.withColumn(
-        "max_tfn_real",
-        F.when(F.col("_mtr_nulls") > 0, F.lit(None))
-         .otherwise(F.col("max_tfn_real"))).drop("_mtr_nulls")
-    ub = S.bm25_term_score(F.col("max_tf"), F.col("df"), F.col("min_dl"),
-                           _field_lit_col(idx, 0), _field_lit_col(idx, 1))
-    out = agg.select("field", "term", "df", ub.alias("max_score_ub"),
-                     "max_tfn_real")
-    # per-term MIN block-ub tf-normalization (build-time sidecar; powers
-    # the no-possible-prune gate). Absent on pre-round-3 segments -> NULL,
-    # which disables that gate but nothing else.
-    if all(os.path.isdir(os.path.join(sd, "term_bounds"))
-           for sd in idx.seg_dirs):
-        tb = _union_read(spark, idx, "term_bounds")
-        if "ub_tfn_q10" not in tb.columns:
-            tb = tb.withColumn("ub_tfn_q10", F.lit(None).cast("double"))
-        tb = (tb.where(F.col("field").isin(list(field_ids)))
-              .where(F.col("term").isin(list(set(terms))))
-              .groupBy("field", "term")
-              # min over segments: conservative toward pruning (an
-              # underestimated q10 runs the θ jobs more often, never
-              # the reverse)
-              .agg(F.min("min_tfn").alias("min_tfn"),
-                   F.min("ub_tfn_q10").alias("ub_tfn_q10")))
-        out = out.join(tb, ["field", "term"], "left")
-    else:
-        out = (out.withColumn("min_tfn", F.lit(None).cast("double"))
-                  .withColumn("ub_tfn_q10", F.lit(None).cast("double")))
-    return out
-
-
 def _decode_blocks(blocks: DataFrame) -> DataFrame:
     """Arrow-batched block decode -> one row per (term, doc_id).
 
@@ -314,8 +261,82 @@ def _scored_postings(idx: IndexMeta, blocks: DataFrame,
 def _collect_term_stats(spark: SparkSession, idx: IndexMeta,
                         terms: list[str],
                         field_ids: tuple = (TEXT_FIELD,)) -> list:
-    """One row per query (field, term): (field, term, df, max_score_ub)."""
-    return _term_stats(spark, idx, terms, field_ids).collect()
+    """One dict per query (field, term): df, max_score_ub, max_tfn_real,
+    min_tfn, ub_tfn_q10 — same values as :func:`_term_stats`, computed by
+    collecting the RAW per-segment rows (≤ segments × terms of them) and
+    aggregating on the driver. The groupBy + left-join form planned 3
+    stages (two Exchanges) for a handful of rows; this is one
+    exchange-free scan job per query — the fixed per-query Spark-job cost
+    is the dominant term at serving-adjacent latencies (round 7).
+    """
+    buckets = sorted({bucket_of(t, idx.n_buckets) for t in terms})
+    tset = sorted(set(terms))
+    fl = list(field_ids)
+    null_d = F.lit(None).cast("double")
+    td = (_union_read(spark, idx, "term_dict")
+          .where(F.col("bucket").isin(buckets))
+          .where(F.col("field").isin(fl))
+          .where(F.col("term").isin(tset)))
+    if "max_tfn_real" not in td.columns:
+        td = td.withColumn("max_tfn_real", null_d)
+    td = td.select("field", "term", "df", "max_tf", "min_dl",
+                   "max_tfn_real", null_d.alias("min_tfn"),
+                   null_d.alias("ub_tfn_q10"), F.lit(0).alias("_src"))
+    plan = td
+    if all(os.path.isdir(os.path.join(sd, "term_bounds"))
+           for sd in idx.seg_dirs):
+        tb = _union_read(spark, idx, "term_bounds")
+        if "ub_tfn_q10" not in tb.columns:
+            tb = tb.withColumn("ub_tfn_q10", null_d)
+        tb = (tb.where(F.col("field").isin(fl))
+              .where(F.col("term").isin(tset))
+              .select("field", "term", null_d.alias("df"),
+                      null_d.alias("max_tf"), null_d.alias("min_dl"),
+                      null_d.alias("max_tfn_real"), "min_tfn",
+                      "ub_tfn_q10", F.lit(1).alias("_src")))
+        plan = td.unionByName(tb)
+    acc: dict[tuple, dict] = {}
+    for r in plan.collect():
+        key = (r["field"], r["term"])
+        a = acc.setdefault(key, {
+            "field": r["field"], "term": r["term"], "df": 0.0,
+            "max_tf": None, "min_dl": None, "max_tfn_real": None,
+            "_mtr_nulls": 0, "min_tfn": None, "ub_tfn_q10": None})
+        if r["_src"] == 0:                      # term_dict row (per segment)
+            a["df"] += float(r["df"])
+            if a["max_tf"] is None or r["max_tf"] > a["max_tf"]:
+                a["max_tf"] = float(r["max_tf"])
+            if a["min_dl"] is None or r["min_dl"] < a["min_dl"]:
+                a["min_dl"] = float(r["min_dl"])
+            if r["max_tfn_real"] is None:
+                # a NULL from any pre-round-3 segment must poison the max
+                # (an unknown segment max invalidates the θ cap)
+                a["_mtr_nulls"] += 1
+            elif (a["max_tfn_real"] is None
+                  or r["max_tfn_real"] > a["max_tfn_real"]):
+                a["max_tfn_real"] = float(r["max_tfn_real"])
+        else:                                   # term_bounds sidecar row
+            # min over segments: conservative toward pruning (an
+            # underestimated q10 runs the θ jobs more often, never the
+            # reverse); F.min semantics — NULLs skipped
+            for c in ("min_tfn", "ub_tfn_q10"):
+                v = r[c]
+                if v is not None and (a[c] is None or v < a[c]):
+                    a[c] = float(v)
+    field_stats = idx.field_stats()
+    out = []
+    for a in acc.values():
+        if a["_mtr_nulls"] > 0:
+            a["max_tfn_real"] = None
+        n_f, avgdl_f = field_stats[a["field"]]
+        df, tf, dl = a["df"], a["max_tf"], a["min_dl"]
+        # same expression order as scoring.bm25_term_score (JVM doubles)
+        idf = math.log(1.0 + (n_f - df + 0.5) / (df + 0.5))
+        tfn = tf / (tf + S.K1 * ((1.0 - S.B) + S.B * dl / avgdl_f))
+        a["max_score_ub"] = idf * tfn
+        del a["_mtr_nulls"], a["max_tf"], a["min_dl"]
+        out.append(a)
+    return out
 
 
 def _stats_df_map(stats: list) -> dict[str, float]:
@@ -412,27 +433,46 @@ def _wand_prune_blocks(blocks: DataFrame, stats: list, idx: IndexMeta,
     # the best real scores.) Driver state stays bounded in both phases.
     ub = S.bm25_term_score(F.col("max_tf"), df_col, F.col("min_dl"),
                            n_col, avgdl_col)
-    top = (blocks.select("field", "term", "n_docs", "block_id", "max_score")
-           .orderBy(F.desc("max_score")).limit(max(64, 4 * k)).toPandas())
-    theta = 0.0
-    top["fkey"] = top["field"].astype(str) + ":" + top["term"]
-    need = []
-    for fk, g in top.groupby("fkey", sort=False):
-        cum = g["n_docs"].cumsum()
-        take = int(np.searchsorted(cum.to_numpy(), k) + 1)
-        sel = g.iloc[:take]
-        if int(sel["n_docs"].sum()) < k:
-            continue          # term has < k postings in the collected top
-        need.append(sel)
-    if need:
-        want = pd.concat(need)
-        keys = set(zip(want["field"], want["term"], want["block_id"]))
-        pay = (blocks.where(
-                   F.col("term").isin(sorted(set(want["term"])))
-                   & F.col("block_id").isin(
-                       sorted({int(b) for b in want["block_id"]})))
-               .select("field", "term", "block_id", "tfs_bin", "dls_bin")
+    # Both θ jobs run with whole-stage codegen OFF: they touch only block
+    # METADATA (thousands of rows), where interpreted execution costs
+    # microseconds but each plan's generated-source compile costs ~1 s the
+    # first time a novel query's literals (term list, df map, θ) appear —
+    # the round-6 cold-path finding (cold wand ≈ noprune + 2 compiles).
+    # The conf is read at action time (toPandas plans the query then), so
+    # the scope below covers exactly these two jobs; the main scan/decode
+    # job is planned later, outside the scope, with codegen ON.
+    spark = blocks.sparkSession
+    _cg = "spark.sql.codegen.wholeStage"
+    _cg_prev = spark.conf.get(_cg)
+    spark.conf.set(_cg, "false")
+    try:
+        top = (blocks.select("field", "term", "n_docs", "block_id",
+                             "max_score")
+               .orderBy(F.desc("max_score")).limit(max(64, 4 * k))
                .toPandas())
+        theta = 0.0
+        top["fkey"] = top["field"].astype(str) + ":" + top["term"]
+        need = []
+        for fk, g in top.groupby("fkey", sort=False):
+            cum = g["n_docs"].cumsum()
+            take = int(np.searchsorted(cum.to_numpy(), k) + 1)
+            sel = g.iloc[:take]
+            if int(sel["n_docs"].sum()) < k:
+                continue      # term has < k postings in the collected top
+            need.append(sel)
+        pay = None
+        if need:
+            want = pd.concat(need)
+            keys = set(zip(want["field"], want["term"], want["block_id"]))
+            pay = (blocks.where(
+                       F.col("term").isin(sorted(set(want["term"])))
+                       & F.col("block_id").isin(
+                           sorted({int(b) for b in want["block_id"]})))
+                   .select("field", "term", "block_id", "tfs_bin", "dls_bin")
+                   .toPandas())
+    finally:
+        spark.conf.set(_cg, _cg_prev)
+    if pay is not None:
         pay = pay[[(f, t, b) in keys for f, t, b in
                    zip(pay["field"], pay["term"], pay["block_id"])]]
         pay["fkey"] = pay["field"].astype(str) + ":" + pay["term"]
