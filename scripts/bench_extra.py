@@ -25,7 +25,6 @@ from pyspark.sql import functions as F  # noqa: E402
 from planet_search_spark import analysis as A  # noqa: E402
 from planet_search_spark.indexing.build import (FIELDS,  # noqa: E402
                                                 POSTINGS_SCHEMA,
-                                                _encode_stream_fn,
                                                 build_index)
 from planet_search_spark.queries import engine as E  # noqa: E402
 from planet_search_spark.session import get_spark  # noqa: E402
@@ -79,7 +78,14 @@ def main():
               f" {plan.count('regexp_extract_all')}")
         timed(name, noop(df))
 
-    # --- encode pipeline piecewise --------------------------------------
+    # --- encode pipeline piecewise (round-7 v4) -------------------------
+    # The index is positional, so tf_partial no longer exists: the
+    # SHUFFLED fallback derives tf with the same on-the-fly groupBy the
+    # build uses, and the DIRECT path reads pos_partial per bucket.
+    import shutil
+
+    from planet_search_spark.indexing.build import (_encode_bucket_task_fn,
+                                                    _encode_stream_fn)
     seg = f"{idx}/segments/seg_1"
     with open(f"{seg}/corpus_stats.json") as f:
         cs = json.load(f)
@@ -87,35 +93,61 @@ def main():
                                v["sum_dl"] / v["n_docs"] if v["n_docs"]
                                else 1.0)
                    for k, v in cs["fields"].items()}
-    tf_stored = spark.read.parquet(f"{seg}/tf_partial")
+    tf_stored = (spark.read.parquet(f"{seg}/pos_partial").drop("pos")
+                 .groupBy("bucket", "field", "term", "doc_id", "dl")
+                 .agg(F.count("*").alias("tf")))
     term_df = spark.read.parquet(f"{seg}/term_dict") \
         .select("term", "field", "bucket", "df")
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16384")
-    dim = term_df.drop("bucket")
-    joined = (tf_stored.join(dim.hint("SHUFFLE_HASH"), ["field", "term"])
+    lean = ["field", "term", "doc_id",
+            F.col("dl").cast("int").alias("dl"),
+            F.col("tf").cast("int").alias("tf")]
+    stream = (tf_stored
+              .join(term_df.drop("bucket").hint("SHUFFLE_HASH"),
+                    ["field", "term"])
               .withColumn("nsalt", F.greatest(
                   F.lit(1), F.ceil(F.col("df") / F.lit(65536.0))).cast("int"))
               .withColumn("salt",
                           (F.col("doc_id") % F.col("nsalt")).cast("int"))
-              .withColumn("lvl", F.lit(0)))
-    lean = ["bucket", "field", "term", "doc_id", "dl", "tf", "df",
-            "salt", "lvl"]
-    timed("encode: dim join", noop(joined.select(*lean)))
-    stream = (joined.select(*lean).repartition(64, "field", "term", "salt")
-              .sortWithinPartitions("field", "term", "salt",
-                                    F.col("lvl").desc(), "doc_id"))
-    timed("encode: +repart+sort", noop(stream))
+              .select(*lean, "df", "salt")
+              .repartition(64, "field", "term", "salt"))
+    timed("encode[fallback]: tf groupBy+join+repart", noop(stream))
 
     def ident(batches):
         for b in batches:
             yield b
-    in_schema = ("bucket int, field int, term string, doc_id long, "
-                 "dl long, tf long, df double, salt int, lvl int")
-    timed("encode: +identity mapInArrow (boundary)",
+    in_schema = ("field int, term string, doc_id long, "
+                 "dl int, tf int, df double, salt int")
+
+    def consume(batches):
+        import pyarrow as pa
+        n = 0
+        for b in batches:
+            n += b.num_rows
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([n], type=pa.int64())], names=["n"])
+
+    timed("encode[fallback]: +consume-only boundary",
+          noop(stream.mapInArrow(consume, schema="n long")))
+    timed("encode[fallback]: +identity round-trip boundary",
           noop(stream.mapInArrow(ident, schema=in_schema)))
-    enc = _encode_stream_fn(field_stats, 128, 1)
-    timed("encode: +real mapInArrow encode",
+    enc = _encode_stream_fn(field_stats, 128, 8, 32, 1 << 16)
+    timed("encode[fallback]: +real shuffled encode",
           noop(stream.mapInArrow(enc, schema=POSTINGS_SCHEMA)))
+
+    def run_direct():
+        dst = f"{work}/probe_direct_out"
+        shutil.rmtree(dst, ignore_errors=True)
+        task = _encode_bucket_task_fn(
+            f"{seg}/pos_partial", "pos", dst, f"{work}/probe_direct_td",
+            list(range(32)), field_stats, 128, 8, 1 << 16)
+        (spark.range(0, 32, 1, 32)
+         .mapInArrow(task, schema="bucket int, n_blocks long").collect())
+
+    timed("encode[direct]: per-bucket pyarrow (postings+term_dict)",
+          run_direct)
+    shutil.rmtree(f"{work}/probe_direct_out", ignore_errors=True)
+    shutil.rmtree(f"{work}/probe_direct_td", ignore_errors=True)
 
     # --- engine bm25_topk components ------------------------------------
     meta = E.open_index(idx)
