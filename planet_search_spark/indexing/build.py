@@ -66,11 +66,35 @@ POSTINGS_SCHEMA = (
 # rows — and that join re-shuffled every encoded block PAYLOAD, which
 # measured ~2x the cost of the wider string sort key it avoided.
 
-# Direct per-bucket encode (round-7 v3) falls back to the shuffled
-# encoder when any single bucket's on-disk tf_partial exceeds this bound
-# (per-task working set ~8x the compressed bytes; n_buckets is the
-# production dial that keeps buckets under it).
-_DIRECT_BUCKET_MAX_BYTES = 512 << 20
+# Per-bucket cap for the DIRECT encoder when /proc/meminfo is
+# unavailable. The in-task peak is ~20x the compressed source bytes for
+# the pos-derived path (numeric copies + sort temps + dedup), and up to
+# `cores` tasks run concurrently — measured: 10M turns at n_buckets=32
+# (156 MiB/bucket) OOM-killed a 125 GiB box when every bucket ran
+# direct under a naive 512 MiB bound.
+_DIRECT_BUCKET_MAX_BYTES = 128 << 20
+
+
+def _direct_bucket_cap(cores: int, n_buckets: int) -> int:
+    """Memory-aware on-disk size cap per DIRECT-encoded bucket: budget
+    half of MemAvailable across min(cores, n_buckets) concurrent tasks
+    at the measured ~20x in-memory blow-up. Scale-adaptive (guide §2):
+    the same code picks ~90 MiB on an idle 125 GiB box and shrinks under
+    pressure; buckets above the cap take the salt-bounded shuffled path
+    instead (see the mixed strategy in _term_dict_and_postings)."""
+    avail = None
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    avail = int(line.split()[1]) * 1024
+                    break
+    except OSError:
+        pass
+    if avail is None:
+        return _DIRECT_BUCKET_MAX_BYTES
+    per_task = (avail // 2) // (20 * max(1, min(cores, n_buckets)))
+    return max(32 << 20, min(per_task, 1 << 30))
 
 # Multi-field indexing (B8): every document contributes one token stream per
 # FIELD, each with its own posting lists, df, dl, and corpus stats — the
@@ -866,8 +890,12 @@ def _term_dict_and_postings(spark: SparkSession, seg_dir: str,
     # -- stage 4: term dictionary + WAND term upper bounds ------------------
     term_dict_path = os.path.join(seg_dir, "term_dict")
 
-    def _write_term_dict():
-        if done("stage_termdict.done"):
+    def _write_term_dict(fb_buckets: list):
+        """JVM term-dictionary aggregation for the SHUFFLED-path buckets
+        only (the direct per-bucket tasks emit their own dictionary
+        rows); dynamic partition overwrite touches just these bucket
+        dirs."""
+        if done("stage_termdict_fb.done"):
             return
         k1, b = S.K1, S.B
         # per-FIELD corpus stats drive the bounds (literal-map lookup)
@@ -894,135 +922,173 @@ def _term_dict_and_postings(spark: SparkSession, seg_dir: str,
         tfn_real = (F.col("tf")
                     / (F.col("tf") + k1 * (1 - b + b * F.col("dl")
                                            / avgdl_col)))
-        (tf_stored.groupBy("bucket", "field", "term")
-           .agg(F.count("*").cast("double").alias("df"),
-                F.sum("tf").cast("long").alias("cf"),
-                F.max("tf").cast("double").alias("max_tf"),
-                F.min("dl").cast("double").alias("min_dl"),
-                F.max(tfn_real).alias("max_tfn_real"))
-           .withColumn("max_score_ub", smax)
-           .withColumn("term_id",
-                       F.row_number().over(w_tid).cast("long")
-                       + F.col("bucket").cast("long") * F.lit(1 << 40))
-           .sortWithinPartitions("bucket", "field", "term")
-           .write.mode("overwrite").partitionBy("bucket")
-           # small row groups: the serving reader's prefix/fuzzy expansion
-           # scans term_dict by term RANGE — with ~60k-row groups and
-           # (field, term)-sorted rows the parquet min/max stats prune the
-           # dictionary scan to a handful of row groups instead of decoding
-           # the whole vocabulary (measured 10 s/call at a 5M-term dict;
-           # 4 MiB balances prune granularity against write overhead)
-           .option("parquet.block.size", str(4 << 20))
-           .parquet(term_dict_path))
-        mark("stage_termdict.done")
+        _po_key = "spark.sql.sources.partitionOverwriteMode"
+        _po_prev = spark.conf.get(_po_key, "static")
+        spark.conf.set(_po_key, "dynamic")
+        try:
+            (tf_stored.where(F.col("bucket").isin(fb_buckets))
+               .groupBy("bucket", "field", "term")
+               .agg(F.count("*").cast("double").alias("df"),
+                    F.sum("tf").cast("long").alias("cf"),
+                    F.max("tf").cast("double").alias("max_tf"),
+                    F.min("dl").cast("double").alias("min_dl"),
+                    F.max(tfn_real).alias("max_tfn_real"))
+               .withColumn("max_score_ub", smax)
+               .withColumn("term_id",
+                           F.row_number().over(w_tid).cast("long")
+                           + F.col("bucket").cast("long") * F.lit(1 << 40))
+               .sortWithinPartitions("bucket", "field", "term")
+               .write.mode("overwrite").partitionBy("bucket")
+               # small row groups: the serving reader's prefix/fuzzy
+               # expansion scans term_dict by term RANGE — with sorted
+               # rows the parquet min/max stats prune the dictionary scan
+               # to a handful of row groups instead of decoding the whole
+               # vocabulary (measured 10 s/call at a 5M-term dict; 4 MiB
+               # balances prune granularity against write overhead)
+               .option("parquet.block.size", str(4 << 20))
+               .parquet(term_dict_path))
+        finally:
+            spark.conf.set(_po_key, _po_prev)
+        mark("stage_termdict_fb.done")
 
     # -- stage 5: block encode, per bucket-group jobs -----------------------
     groups = [sorted(range(n_buckets))[i::n_groups] for i in range(n_groups)]
     postings_path = os.path.join(seg_dir, "postings")
     n_levels = 8 if impact_order else 1
     built_groups = 0
-    # DEFAULT: direct per-bucket encode (round-7 v3/v4) — pyarrow reads
-    # each bucket's slice and writes its posting blocks AND its term_dict
-    # rows; no shuffle, no JVM↔Python row conversion, no separate stage-4
-    # job (see _encode_bucket_task_fn). The task working set is one bucket
-    # (total_postings / n_buckets — the quantity n_buckets is already
-    # sized by); past _DIRECT_BUCKET_MAX_BYTES of on-disk source per
-    # bucket, or when forced (broadcast_term_limit <= 0), fall back to
-    # the stage-4 JVM dictionary + shuffled encoder whose per-task memory
-    # is capped by salt_target regardless of bucket size.
-    biggest_bucket = 0
+    # PER-BUCKET MIXED STRATEGY (round-7 v4): buckets whose on-disk
+    # source fits the memory-aware per-task cap encode DIRECT (pyarrow
+    # in-task — no shuffle, no JVM↔Python row conversion, term_dict rows
+    # emitted by the task; see _encode_bucket_task_fn); oversized buckets
+    # — typically the one holding a planet-scale stopword, whose rows no
+    # bucketing can split — go through the SHUFFLED encoder whose
+    # per-task memory is capped by salt_target via the
+    # (field, term, salt) repartition (this also removes the straggler a
+    # single giant direct task would be). broadcast_term_limit <= 0
+    # forces everything onto the shuffled path (tests).
+    sizes: dict[int, int] = {}
     if os.path.isdir(src_dir):
         for d in os.listdir(src_dir):
             p = os.path.join(src_dir, d)
             if d.startswith("bucket=") and os.path.isdir(p):
-                sz = sum(os.path.getsize(os.path.join(p, f))
-                         for f in os.listdir(p))
-                biggest_bucket = max(biggest_bucket, sz)
-    use_direct = (broadcast_term_limit > 0
-                  and biggest_bucket <= _DIRECT_BUCKET_MAX_BYTES)
-    if use_direct:
-        for gi, buckets in enumerate(groups):
-            if done(f"group_{gi}.done"):
-                continue
-            spark.sparkContext.setJobDescription(
-                f"encode group {gi}: direct per-bucket "
-                f"({len(buckets)} tasks)")
-            task = _encode_bucket_task_fn(
-                src_dir, src_kind,
-                os.path.join(postings_path, f"group={gi}"),
-                term_dict_path, buckets, field_stats, block_size,
-                n_levels, salt_target)
-            res = (spark.range(0, len(buckets), 1, len(buckets))
-                   .mapInArrow(task, schema="bucket int, n_blocks long")
-                   .collect())
-            spark.sparkContext.setJobDescription(None)
-            if len(res) != len(buckets):
-                raise RuntimeError(
-                    f"encode group {gi}: {len(res)}/{len(buckets)} "
-                    "bucket tasks reported")
-            mark(f"group_{gi}.done")
-            lap(f"encode_g{gi}")
-            built_groups += 1
-            if fail_after_group >= 0 and built_groups >= fail_after_group:
-                raise RuntimeError(f"injected failure after group {gi}")
-        if not done("stage_termdict.done"):
-            mark("stage_termdict.done")
+                sizes[int(d.split("=", 1)[1])] = sum(
+                    os.path.getsize(os.path.join(p, f))
+                    for f in os.listdir(p))
+    # the split is PERSISTED per segment: MemAvailable changes between a
+    # crash and its resume must not flip a bucket's path (a flipped
+    # bucket could skip both term_dict writers)
+    split_path = os.path.join(seg_dir, "_ckpt", "encode_split.json")
+    if os.path.exists(split_path):
+        with open(split_path) as f:
+            fb_all = json.load(f)["fb_buckets"]
+        direct_set = set(range(n_buckets)) - set(fb_all)
     else:
-        _write_term_dict()
-        lap("term_dict")
-        term_df = spark.read.parquet(term_dict_path).select(
-            "term", "field", "bucket", "df")
-        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        enc = _encode_stream_fn(field_stats, block_size, n_levels,
-                                n_buckets, salt_target)
-        # Arrow batch size for the boundary: measured U-shape — 64k-row
-        # batches allocate ~33 MB bursts JVM-side and stall on GCLocker,
-        # 4k pays per-batch overhead; 16k is the sweet spot for these
-        # narrow rows (guide §4.2). Restored after the encode jobs.
-        _arrow_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
-        _arrow_prev = spark.conf.get(_arrow_key)
-        spark.conf.set(_arrow_key, "16384")
-        lean = ["field", "term", "doc_id",
-                F.col("dl").cast("int").alias("dl"),
-                F.col("tf").cast("int").alias("tf")]
+        cap = _direct_bucket_cap(spark.sparkContext.defaultParallelism,
+                                 n_buckets)
+        if broadcast_term_limit > 0:
+            direct_set = {b for b in range(n_buckets)
+                          if sizes.get(b, 0) <= cap}
+        else:
+            direct_set = set()
+        fb_all = [b for b in range(n_buckets) if b not in direct_set]
+        with open(split_path, "w") as f:
+            json.dump({"fb_buckets": fb_all}, f)
+    if fb_all:
+        _write_term_dict(fb_all)          # the shuffled path's dim side
+        lap("term_dict_fb")
+    term_df = (spark.read.parquet(term_dict_path)
+               .select("term", "field", "bucket", "df")
+               if fb_all else None)
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    enc = _encode_stream_fn(field_stats, block_size, n_levels,
+                            n_buckets, salt_target)
+    # Arrow batch size for the shuffled boundary: measured U-shape —
+    # 64k-row batches allocate ~33 MB bursts JVM-side and stall on
+    # GCLocker, 4k pays per-batch overhead; 16k is the sweet spot for
+    # these narrow rows (guide §4.2). Restored after the encode jobs.
+    _arrow_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    _arrow_prev = spark.conf.get(_arrow_key)
+    spark.conf.set(_arrow_key, "16384")
+    lean = ["field", "term", "doc_id",
+            F.col("dl").cast("int").alias("dl"),
+            F.col("tf").cast("int").alias("tf")]
+    try:
         for gi, buckets in enumerate(groups):
             if done(f"group_{gi}.done"):
                 continue
-            tf_g = tf_stored.where(F.col("bucket").isin(buckets))
-            n_part = max(n_shuffle // n_groups, len(buckets),
-                         2 * spark.sparkContext.defaultParallelism)
-            # attach df to every row with a SHUFFLE_HASH dim join
-            # (sort-merge would string-sort every posting row; the hash
-            # join builds only per-partition dictionary tables), then the
-            # ONE wide operation: co-locate each (field, term, salt) group
-            # — hot terms salted so no task sees more than ~salt_target
-            # rows of one term
-            dim = (term_df.where(F.col("bucket").isin(buckets))
-                   .select("field", "term", "df"))
-            stream = (tf_g.join(dim.hint("SHUFFLE_HASH"), ["field", "term"])
-                      .withColumn("nsalt", F.greatest(
-                          F.lit(1),
-                          F.ceil(F.col("df") / F.lit(float(salt_target)))
-                      ).cast("int"))
-                      .withColumn("salt", (F.col("doc_id")
-                                           % F.col("nsalt")).cast("int"))
-                      .select(*lean, "df", "salt")
-                      .repartition(n_part, "field", "term", "salt"))
-            blocks = stream.mapInArrow(enc, schema=POSTINGS_SCHEMA)
-            # compact: block rows are ~1000x fewer than postings, so this
-            # extra tiny shuffle buys one file per bucket — query-time
-            # file listing and footer reads stay O(buckets), not
-            # O(buckets x encode tasks)
-            (blocks.repartition(len(buckets), "bucket")
-                   .write.mode("overwrite").partitionBy("bucket")
-                   .parquet(os.path.join(postings_path, f"group={gi}")))
+            d_buckets = [b for b in buckets if b in direct_set]
+            f_buckets = [b for b in buckets if b not in direct_set]
+            if d_buckets:
+                spark.sparkContext.setJobDescription(
+                    f"encode group {gi}: direct per-bucket "
+                    f"({len(d_buckets)} tasks)")
+                task = _encode_bucket_task_fn(
+                    src_dir, src_kind,
+                    os.path.join(postings_path, f"group={gi}"),
+                    term_dict_path, d_buckets, field_stats, block_size,
+                    n_levels, salt_target)
+                res = (spark.range(0, len(d_buckets), 1, len(d_buckets))
+                       .mapInArrow(task, schema="bucket int, n_blocks long")
+                       .collect())
+                spark.sparkContext.setJobDescription(None)
+                if len(res) != len(d_buckets):
+                    raise RuntimeError(
+                        f"encode group {gi}: {len(res)}/{len(d_buckets)} "
+                        "bucket tasks reported")
+            if f_buckets:
+                spark.sparkContext.setJobDescription(
+                    f"encode group {gi}: shuffled fallback "
+                    f"(buckets {f_buckets})")
+                tf_g = tf_stored.where(F.col("bucket").isin(f_buckets))
+                n_part = max(n_shuffle // n_groups, len(buckets),
+                             2 * spark.sparkContext.defaultParallelism)
+                # attach df to every row with a SHUFFLE_HASH dim join
+                # (sort-merge would string-sort every posting row; the
+                # hash join builds only per-partition dictionary tables),
+                # then the ONE wide operation: co-locate each
+                # (field, term, salt) group — hot terms salted so no task
+                # sees more than ~salt_target rows of one term
+                dim = (term_df.where(F.col("bucket").isin(f_buckets))
+                       .select("field", "term", "df"))
+                stream = (tf_g.join(dim.hint("SHUFFLE_HASH"),
+                                    ["field", "term"])
+                          .withColumn("nsalt", F.greatest(
+                              F.lit(1),
+                              F.ceil(F.col("df")
+                                     / F.lit(float(salt_target)))
+                          ).cast("int"))
+                          .withColumn("salt", (F.col("doc_id")
+                                               % F.col("nsalt"))
+                                      .cast("int"))
+                          .select(*lean, "df", "salt")
+                          .repartition(n_part, "field", "term", "salt"))
+                blocks = stream.mapInArrow(enc, schema=POSTINGS_SCHEMA)
+                # compact: block rows are ~1000x fewer than postings, so
+                # this tiny extra shuffle buys one file per bucket —
+                # query-time file listing and footer reads stay
+                # O(buckets), not O(buckets x encode tasks). Dynamic
+                # partition overwrite: the direct buckets of this group
+                # live in the same dir.
+                _po_key = "spark.sql.sources.partitionOverwriteMode"
+                _po_prev = spark.conf.get(_po_key, "static")
+                spark.conf.set(_po_key, "dynamic")
+                try:
+                    (blocks.repartition(max(len(f_buckets), 1), "bucket")
+                           .write.mode("overwrite").partitionBy("bucket")
+                           .parquet(os.path.join(postings_path,
+                                                 f"group={gi}")))
+                finally:
+                    spark.conf.set(_po_key, _po_prev)
+                spark.sparkContext.setJobDescription(None)
             mark(f"group_{gi}.done")
             lap(f"encode_g{gi}")
             built_groups += 1
             if fail_after_group >= 0 and built_groups >= fail_after_group:
-                spark.conf.set(_arrow_key, _arrow_prev)
                 raise RuntimeError(f"injected failure after group {gi}")
+    finally:
         spark.conf.set(_arrow_key, _arrow_prev)
+    if not done("stage_termdict.done"):
+        mark("stage_termdict.done")
     n_terms_total = spark.read.parquet(term_dict_path).count()
     if not done("term_bounds.done"):
         # per-(field, term) MIN over blocks of the block upper-bound's

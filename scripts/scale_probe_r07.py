@@ -3,8 +3,9 @@ index with the v4 per-bucket encoder, record per-stage seconds and
 throughput, then measure the serving dense/sparse gate crossover on the
 resulting single-shard index (the gate constant was 1M-tuned).
 
-Usage: python3 scripts/scale_probe_r07.py [n_turns] [out.json]
-Writes the JSON artifact and prints it.
+Usage: python3 scripts/scale_probe_r07.py [n_turns] [out.json] [n_buckets]
+Writes the JSON artifact and prints it. Run with SPARK_DRIVER_MEM sized
+for the corpus (16g for 10M turns).
 """
 from __future__ import annotations
 
@@ -27,6 +28,7 @@ from planet_search_spark.transcripts import (  # noqa: E402
 def main():
     n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     out_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_scale_r07.json"
+    n_buckets = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     tmp_root = os.environ.get(
         "SPARK_GRAFT_TMP",
@@ -41,12 +43,13 @@ def main():
             n_turns, parallelism=max(cpus * 4, 64),
             out_path=f"{work}/tx.parquet")
         t0 = time.time()
-        m = build_index(spark, corpus, f"{work}/idx", n_buckets=32,
+        m = build_index(spark, corpus, f"{work}/idx", n_buckets=n_buckets,
                         n_groups=1, with_positions=True)
         build_sec = time.time() - t0
         doc = {
             "metric": "scale_probe_r07",
             "n_turns": n_turns,
+            "n_buckets": n_buckets,
             "cpus": cpus,
             "build_sec": round(build_sec, 1),
             "turns_per_sec": round(m["turns_per_sec"], 1),

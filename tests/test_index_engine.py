@@ -5,6 +5,7 @@ and crash-resume == single-shot build (the double-build E2E analogue,
 from __future__ import annotations
 
 import glob
+import json
 import os
 
 import pytest
@@ -325,9 +326,10 @@ def test_resume_after_crash_identical(spark, corpus, index_dir, tmp_path):
 
 def test_bigvocab_join_fused_encode_identical(spark, corpus, index_dir,
                                               tmp_path):
-    """The planet-scale encode path (shuffled-hash dim join co-locates
-    terms; NO second shuffle, no salting, join-order block splits) must
-    produce an index answering identically to the broadcast+salt path."""
+    """The bounded-memory SHUFFLED encode path (shuffled-hash dim join
+    attaches df, the (field, term, salt) repartition co-locates groups,
+    the JVM term dictionary is the dim side) must produce an index
+    answering identically to the default direct per-bucket path."""
     out2 = str(tmp_path / "bigvocab")
     build_index(spark, corpus, out2, n_buckets=8, block_size=16,
                 n_groups=3, broadcast_term_limit=0)  # force the SHJ path
@@ -343,6 +345,57 @@ def test_bigvocab_join_fused_encode_identical(spark, corpus, index_dir,
     pb = sorted(r.doc_id for r in
                 E.phrase_match(spark, out2, "out of memory").collect())
     assert pa == pb and len(pa) > 0
+
+
+def test_mixed_direct_fallback_encode_identical(spark, corpus, tmp_path,
+                                                monkeypatch):
+    """Round-7 mixed strategy: when SOME buckets exceed the memory-aware
+    direct cap (the planet-scale-stopword bucket case), those buckets
+    take the shuffled path while the rest encode direct — in the SAME
+    build. The mixed index must be artifact-identical to an all-direct
+    build (term_dict compared minus the stored max_score_ub, which
+    carries a documented 1-ulp Math.log-vs-libm drift between the JVM
+    and numpy writers)."""
+    import planet_search_spark.indexing.build as B
+    out_a = str(tmp_path / "alldirect")
+    build_index(spark, corpus, out_a, n_buckets=8, block_size=16,
+                salt_target=64, n_groups=2)
+    # pick a cap between the smallest and largest bucket so the split is
+    # genuinely mixed
+    seg = glob.glob(os.path.join(out_a, "segments", "*"))[0]
+    pos = os.path.join(seg, "pos_partial")
+    sizes = sorted(
+        sum(os.path.getsize(os.path.join(pos, d, f))
+            for f in os.listdir(os.path.join(pos, d)))
+        for d in os.listdir(pos) if d.startswith("bucket="))
+    cap = sizes[len(sizes) // 2]
+    monkeypatch.setattr(B, "_direct_bucket_cap", lambda cores, nb: cap)
+    out_b = str(tmp_path / "mixed")
+    build_index(spark, corpus, out_b, n_buckets=8, block_size=16,
+                salt_target=64, n_groups=2)
+    split = json.load(open(glob.glob(os.path.join(
+        out_b, "segments", "*", "_ckpt", "encode_split.json"))[0]))
+    assert 0 < len(split["fb_buckets"]) < 8, split  # genuinely mixed
+    seg_a = glob.glob(os.path.join(out_a, "segments", "*"))[0]
+    seg_b = glob.glob(os.path.join(out_b, "segments", "*"))[0]
+    cols = ["bucket", "field", "term", "block_id", "n_docs", "first_doc",
+            "last_doc", "max_score", "max_tf", "min_dl", "min_tf",
+            "max_dl", "docs_bin", "tfs_bin", "dls_bin"]
+    pa_ = spark.read.parquet(os.path.join(seg_a, "postings")).select(cols)
+    pb_ = spark.read.parquet(os.path.join(seg_b, "postings")).select(cols)
+    assert pa_.exceptAll(pb_).count() == 0
+    assert pb_.exceptAll(pa_).count() == 0
+    ta = spark.read.parquet(os.path.join(seg_a, "term_dict")) \
+        .drop("max_score_ub")
+    tb = spark.read.parquet(os.path.join(seg_b, "term_dict")) \
+        .drop("max_score_ub")
+    assert ta.exceptAll(tb).count() == 0
+    assert tb.exceptAll(ta).count() == 0
+    for q in ["error timeout retry", "the data"]:
+        a = E.bm25_topk(spark, out_a, q, k=15, hydrate=False).toPandas()
+        b = E.bm25_topk(spark, out_b, q, k=15, hydrate=False).toPandas()
+        assert list(a.doc_id) == list(b.doc_id), q
+        assert (a.score - b.score).abs().max() < 1e-12
 
 
 def test_metrics_and_lineage_written(index_dir):
