@@ -722,6 +722,13 @@ def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
     # 'small files hurt twice'). coalesce is narrow: no extra shuffle.
     write_par = spark.sparkContext.defaultParallelism
 
+    # corpus stats ride the doc_store write as observed metrics
+    # (CollectMetrics): same rows, same aggregates, one job instead of a
+    # write + a follow-up parquet re-scan per segment (guide §1/§2: drop
+    # the extra pass). The re-scan remains as the resume fallback.
+    from pyspark.sql import Observation
+    doc_obs = Observation("doc_store_stats")
+
     def _write_doc_store():
         # kw_hash, not the raw keyword string: exact-match semantics only
         # need equality, and the md5 keeps doc_store narrow at 10^12 turns
@@ -735,6 +742,10 @@ def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
             F.md5(F.array_join("toks", " ")).alias("kw_hash"),
             S.static_prior(F.col("role"), F.col("dl").cast("double"),
                            F.col("tool")).alias("prior"))
+         .observe(doc_obs,
+                  F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"),
+                  F.count(F.when(F.col("mdl") > 0, 1)).alias("mn"),
+                  F.sum("mdl").alias("ms"))
          .coalesce(write_par)
          .sortWithinPartitions("kw_hash")
          .write.mode("overwrite").parquet(doc_store_path))
@@ -778,7 +789,8 @@ def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
     _prewarm_python_workers(spark)
     from concurrent.futures import ThreadPoolExecutor
     jobs = []
-    if not done("stage_docs.done"):
+    wrote_doc_store = not done("stage_docs.done")
+    if wrote_doc_store:
         jobs.append(_write_doc_store)
     if with_positions and not done("stage_pos.done"):
         jobs.append(_write_pos)
@@ -789,10 +801,13 @@ def build_index(spark: SparkSession, tx: DataFrame, out_dir: str, *,
                 f.result()
     lap("docs_pos_parallel")
 
-    _st = (spark.read.parquet(doc_store_path)
-           .agg(F.count("*").alias("n"), F.sum("dl").alias("s"),
-                F.count(F.when(F.col("mdl") > 0, 1)).alias("mn"),
-                F.sum("mdl").alias("ms")).collect()[0])
+    if wrote_doc_store:
+        _st = doc_obs.get  # collected during the write job, no extra scan
+    else:  # resume: doc_store pre-exists, recover stats from the parquet
+        _st = (spark.read.parquet(doc_store_path)
+               .agg(F.count("*").alias("n"), F.sum("dl").alias("s"),
+                    F.count(F.when(F.col("mdl") > 0, 1)).alias("mn"),
+                    F.sum("mdl").alias("ms")).collect()[0])
     n_docs, sum_dl = int(_st["n"]), int(_st["s"])
     avgdl = sum_dl / n_docs
     m_docs, m_sum = int(_st["mn"]), int(_st["ms"] or 0)

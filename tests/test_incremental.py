@@ -428,3 +428,26 @@ def test_tiered_compaction_merges_only_the_small_tier(spark, tmp_path):
                         prune=False, hydrate=False).toPandas()
     assert list(pruned.doc_id) == list(plain.doc_id)
     assert (pruned.score - plain.score).abs().max() < 1e-12
+
+
+def test_observed_corpus_stats_match_doc_store_rescan(spark, corpora,
+                                                      tmp_path):
+    """corpus_stats.json rides the doc_store write as observed metrics
+    (round-7: the per-segment stats re-scan job was deleted); the stored
+    stats must equal a direct re-aggregation of the written doc_store."""
+    a, _, _ = corpora
+    out = str(tmp_path / "obs_idx")
+    build_index(spark, a, out, **KW)
+    seg = os.path.join(out, "segments", "seg_1")
+    with open(os.path.join(seg, "corpus_stats.json")) as f:
+        cs = json.load(f)
+    chk = (spark.read.parquet(os.path.join(seg, "doc_store"))
+           .agg(F.count("*").alias("n"), F.sum("dl").alias("s"),
+                F.count(F.when(F.col("mdl") > 0, 1)).alias("mn"),
+                F.sum("mdl").alias("ms")).collect()[0])
+    assert cs["n_docs"] == chk["n"]
+    assert cs["sum_dl"] == chk["s"]
+    assert cs["avgdl"] == chk["s"] / chk["n"]
+    assert cs["fields"]["text"] == {"n_docs": chk["n"], "sum_dl": chk["s"]}
+    assert cs["fields"]["meta"] == {"n_docs": chk["mn"],
+                                    "sum_dl": chk["ms"]}
