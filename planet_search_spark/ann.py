@@ -107,21 +107,30 @@ def _ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, centroid_id, embedding) — argmax-cosine bucket assignment.
 
     Quantized similarity for the argmax so the tie-break (centroid_id asc)
-    is cross-engine deterministic.
+    is cross-engine deterministic. Vector/centroid norms are hoisted out
+    of the cross join (round-7, guide §4): ``sqrt(dot(v, v))`` is the
+    interpreted-HOF part of the cosine, and inline it evaluated once per
+    (vector, centroid) pair; computing it once per row keeps every double
+    bit-identical — ``dot/(nx*ny)`` sees the exact same operands — while
+    the per-pair work drops to the dot product alone.
     """
     from pyspark.sql.window import Window
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .withColumn("nrm", F.sqrt(dot(F.col("embedding"),
+                                      F.col("embedding"))))
     cents = emb.where(F.col("vec_id") < N_CENTROIDS) \
                .select(F.col("vec_id").alias("centroid_id"),
-                       F.col("embedding").alias("cv"))
+                       F.col("embedding").alias("cv"),
+                       F.col("nrm").alias("cnrm"))
+    sim = (dot(F.col("embedding"), F.col("cv"))
+           / (F.col("nrm") * F.col("cnrm")))
     scored = (emb.crossJoin(F.broadcast(cents))
-              .select("vec_id", "embedding", "centroid_id",
-                      S.quantize(cosine(F.col("embedding"), F.col("cv")))
-                       .alias("sim_q")))
+              .select("vec_id", "embedding", "nrm", "centroid_id",
+                      S.quantize(sim).alias("sim_q")))
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim_q"), "centroid_id")
     return (scored.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
-            .select("vec_id", "centroid_id", "embedding"))
+            .select("vec_id", "centroid_id", "embedding", "nrm"))
 
 
 @_register("ann_ivf_topk", f"""
@@ -146,11 +155,13 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
     assigned = _ivf_assignments(spark, sf_dir)
     qb = assigned.where(F.col("vec_id") == QUERY_VEC_ID) \
-                 .select("centroid_id", F.col("embedding").alias("qv"))
+                 .select("centroid_id", F.col("embedding").alias("qv"),
+                         F.col("nrm").alias("qnrm"))
     sims = (assigned.join(F.broadcast(qb), "centroid_id")
             .where(F.col("vec_id") != QUERY_VEC_ID)
             .select("vec_id",
-                    S.quantize(cosine(F.col("embedding"), F.col("qv")))
+                    S.quantize(dot(F.col("embedding"), F.col("qv"))
+                               / (F.col("nrm") * F.col("qnrm")))
                      .alias("sim_q")))
     top = sims.orderBy(F.desc("sim_q"), "vec_id").limit(5)
     return _with_rank(top, F.desc("sim_q"), "vec_id") \
@@ -187,12 +198,15 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     then exact quantized cosine >= tau."""
     assigned = _ivf_assignments(spark, sf_dir)
     x, y = assigned.alias("x"), assigned.alias("y")
+    # norms ride the assignment (one sqrt(dot(v,v)) per VECTOR, not per
+    # pair): identical doubles, ~3x less interpreted-HOF work per pair
+    sim = (dot(F.col("x.embedding"), F.col("y.embedding"))
+           / (F.col("x.nrm") * F.col("y.nrm")))
     pairs = (x.join(y, (F.col("x.centroid_id") == F.col("y.centroid_id"))
                     & (F.col("x.vec_id") < F.col("y.vec_id")))
              .select(F.col("x.vec_id").alias("vec_a"),
                      F.col("y.vec_id").alias("vec_b"),
-                     S.quantize(cosine(F.col("x.embedding"),
-                                       F.col("y.embedding"))).alias("sim_q")))
+                     S.quantize(sim).alias("sim_q")))
     return pairs.where(F.col("sim_q") >= int(NEARDUP_TAU * 10000))
 
 
