@@ -632,7 +632,13 @@ def field_docs(tx: DataFrame) -> DataFrame:
     docs = tokenized_docs(tx)
     text = docs.select("conv_id", "turn_idx", F.lit("text").alias("field"),
                        "toks", "dl")
-    meta = (docs.withColumn("mtoks", A.tokens_col(meta_field_col()))
+    # Generate barrier for the meta chain too (round-7, same fix as
+    # tokenized_docs): the withColumn form re-derived the meta analyzer
+    # chain in the filter, the dl projection and the toks output
+    meta = (docs.select(
+                "conv_id", "turn_idx",
+                F.explode(F.array(A.tokens_col(meta_field_col())))
+                 .alias("mtoks"))
             .where(F.size("mtoks") > 0)
             .select("conv_id", "turn_idx", F.lit("meta").alias("field"),
                     F.col("mtoks").alias("toks"),
@@ -642,25 +648,39 @@ def field_docs(tx: DataFrame) -> DataFrame:
 
 def _field_scores(tx: DataFrame, terms: list[str]) -> DataFrame:
     """(conv_id, turn_idx, field, score): per-field summed BM25 under that
-    field's corpus stats."""
+    field's corpus stats.
+
+    Round-7 rewrite on the `_bm25_scores_wide` pattern (guide §2.3/§2.4):
+    the old form aggregated the FULL per-field vocabulary into a
+    (doc, field, term) tf table and derived df from it before filtering
+    to the query terms — two corpus-wide shuffles per query. Now the
+    matched-token explode pivots per-term tfs in one groupBy over
+    query-term rows only, and each field's N/avgdl/df_i ride one 2-row
+    broadcast aggregate (``array_contains`` df — no explode, no
+    shuffle). Same (doc, field) row set, same per-term addends.
+    """
+    uniq = list(dict.fromkeys(terms))
     fdocs = field_docs(tx)
-    ftf = (fdocs.select("conv_id", "turn_idx", "field", "dl",
+    stats = fdocs.groupBy("field").agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[F.count_if(F.array_contains("toks", t)).cast("double")
+          .alias(f"df{i}") for i, t in enumerate(uniq)])
+    qtf = (fdocs.select("conv_id", "turn_idx", "field", "dl",
                         F.explode("toks").alias("term"))
-           .groupBy("conv_id", "turn_idx", "field", "dl", "term")
-           .agg(F.count("*").cast("double").alias("tf")))
-    qtf = ftf.where(F.col("term").isin(terms))
-    fdf = (ftf.groupBy("field", "term")
-           .agg(F.count("*").cast("double").alias("df"))
-           .where(F.col("term").isin(terms)))
-    fcorpus = fdocs.groupBy("field").agg(
-        F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl"))
-    return (qtf.join(F.broadcast(fdf), ["field", "term"])
-            .join(F.broadcast(fcorpus), "field")
-            .withColumn("s", S.bm25_term_score(
-                F.col("tf"), F.col("df"), F.col("dl"),
-                F.col("n"), F.col("avgdl")))
-            .groupBy("conv_id", "turn_idx", "field")
-            .agg(F.sum("s").alias("score")))
+           .where(F.col("term").isin(uniq))
+           .groupBy("conv_id", "turn_idx", "field")
+           .agg(F.first("dl").alias("dl"),
+                *[F.count_if(F.col("term") == t).cast("double")
+                  .alias(f"tf{i}") for i, t in enumerate(uniq)]))
+    score = functools.reduce(operator.add, [
+        F.when(F.col(f"tf{i}") > 0, S.bm25_term_score(
+            F.col(f"tf{i}"), F.col(f"df{i}"), F.col("dl"),
+            F.col("n"), F.col("avgdl"))).otherwise(F.lit(0.0))
+        for i in range(len(uniq))])
+    return (qtf.join(F.broadcast(stats), "field")
+            .select("conv_id", "turn_idx", "field",
+                    score.alias("score")))
 
 
 _SQL_FIELD_SCORES = f"""{_SQL_BASE},
